@@ -1,0 +1,87 @@
+"""Benchmark runner (driver contract).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+
+Headline: the north-star pipeline — generate Common-Crawl-style pages,
+geoparse, assign H3-role+S2-role cells, spatial-join against the
+polygon layer, count matches — measured in pages/sec.
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), BENCH_PAGES (default 1_000_000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_headline(spark, n_pages: int) -> dict:
+    from rsgislib_spark.cells import quadcell, s2cell
+    from rsgislib_spark.data import fixtures, pages
+    from rsgislib_spark.functions.geoparse import geoparse
+    from rsgislib_spark.operators import spatial_join as sj
+
+    t0 = time.time()
+    pg = pages.pages_df(spark, n_pages).drop("lon_true", "lat_true")
+    pts = geoparse(pg)
+    pts = pts.selectExpr(
+        "*",
+        quadcell.cell_sql("lon", "lat", 9) + " AS cell_r9",
+        s2cell.cell_sql("lon", "lat", 10) + " AS s2_cell",
+    )
+    idx = sj.PolygonIndex.from_fixture(fixtures.POLYGONS)
+    joined = sj.spatial_join(pts.where("lon IS NOT NULL"), idx, how="inner")
+    n_matched = joined.count()
+    dt = time.time() - t0
+    return {
+        "headline_sec": dt,
+        "pages": n_pages,
+        "pages_per_sec": n_pages / dt,
+        "matched": n_matched,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_pages = int(os.environ.get("BENCH_PAGES", "1000000"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from rsgislib_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qtimes: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        qtimes[name] = round(time.time() - t0, 3)
+
+    head = run_headline(spark, n_pages)
+
+    out = {
+        "metric": "pages_geoparse_cellassign_spatialjoin_throughput",
+        "value": round(head["headline_sec"], 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "pages": head["pages"],
+        "pages_per_sec": round(head["pages_per_sec"], 1),
+        "matched_pairs": head["matched"],
+        "cores": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

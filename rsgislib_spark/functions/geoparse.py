@@ -1,0 +1,47 @@
+"""Rule-based geoparsing: pages → (lon, lat).
+
+The north star assigns every page a lon/lat "via URL/text geoparsing".
+Two deterministic rules, both JVM-side:
+
+1. explicit geo token in the text — ``geo:<lon>,<lat>`` —
+   regexp_extract + cast (native Columns, whole-stage codegen);
+2. fallback: the place token in the URL path joined against a small
+   gazetteer (broadcast hash join — the moral equivalent of the
+   reference loading the small layer fully in memory, SURVEY.md §2.3
+   note on geopandas sjoin at vectorattrs/__init__.py:1293).
+
+No Python UDF anywhere: geoparsing 10^12 rows is a pure codegen map
+plus one broadcast join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..data.pages import gazetteer_df
+
+GEO_RE = r"geo:(-?[0-9]+\.[0-9]+),(-?[0-9]+\.[0-9]+)"
+URL_PLACE_RE = r"https?://[^/]+/([a-z0-9]+)/"
+
+
+def geoparse(pages: DataFrame, gazetteer: DataFrame | None = None) -> DataFrame:
+    """Add lon/lat columns; rows that match neither rule get nulls
+    (caller filters, mirroring perform_spatial_join's how semantics).
+    """
+    spark = pages.sparkSession
+    gaz = gazetteer if gazetteer is not None else gazetteer_df(spark)
+
+    df = pages.withColumn(
+        "_geo_lon", F.regexp_extract("text", GEO_RE, 1).try_cast("double")
+    ).withColumn(
+        "_geo_lat", F.regexp_extract("text", GEO_RE, 2).try_cast("double")
+    ).withColumn(
+        "_place", F.regexp_extract("url", URL_PLACE_RE, 1)
+    )
+
+    df = df.join(F.broadcast(gaz), df["_place"] == gaz["place"], "left")
+    return (
+        df.withColumn("lon", F.coalesce("_geo_lon", "place_lon"))
+        .withColumn("lat", F.coalesce("_geo_lat", "place_lat"))
+        .drop("_geo_lon", "_geo_lat", "_place", "place", "place_lon", "place_lat")
+    )

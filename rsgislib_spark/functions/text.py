@@ -1,0 +1,96 @@
+"""Text-analysis functions for the web-scale training-data pipeline.
+
+RSGISLib has no text ops (it is a GIS library); these are the
+training-data-pipeline operations the task brief adds as first-class
+components: language-ID (marker n-gram heuristic), quality scoring
+(length/punct/stopword ratios), token counting, and document
+fingerprinting. All are native Column expressions (codegen, zero
+Python) — at 100 TB these run at scan speed.
+
+Formulas are built from REPLACE/LENGTH arithmetic so the DuckDB
+oracle can evaluate the identical expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# marker words per language — the classic stopword-profile heuristic
+LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " et ", " la "],
+    "es": [" el ", " y ", " los "],
+    "pt": [" de ", " e ", " os "],
+}
+
+
+def occurrences_sql(text: str, needle: str) -> str:
+    """# of (non-overlapping) occurrences of needle — shared SQL."""
+    esc = needle.replace("'", "''")
+    return (
+        f"(LENGTH({text}) - LENGTH(REPLACE({text}, '{esc}', '')))"
+        f" / {len(needle)}"
+    )
+
+
+def token_count_sql(text: str) -> str:
+    """Whitespace token count — shared SQL (single-space separated)."""
+    return (
+        f"(CASE WHEN LENGTH({text}) = 0 THEN 0 ELSE "
+        f"LENGTH({text}) - LENGTH(REPLACE({text}, ' ', '')) + 1 END)"
+    )
+
+
+def lang_score_sql(text: str, lang: str) -> str:
+    terms = " + ".join(occurrences_sql(text, m) for m in LANG_MARKERS[lang])
+    return f"({terms})"
+
+
+def lang_id_sql(text: str) -> str:
+    """argmax language by marker count, alphabetical tie-break —
+    shared SQL CASE chain (deterministic)."""
+    scores = {lg: lang_score_sql(text, lg) for lg in LANG_MARKERS}
+    ordered = sorted(LANG_MARKERS)  # alphabetical preference on ties
+    whens = []
+    for lg in ordered:
+        others = [f"{scores[lg]} >= {scores[o]}" for o in ordered if o != lg]
+        whens.append(f"WHEN {' AND '.join(others)} THEN '{lg}'")
+    return "(CASE " + " ".join(whens) + " ELSE 'und' END)"
+
+
+def quality_score_sql(text: str) -> str:
+    """Quality heuristic in [0,1]-ish: rewards mid-length docs and
+    word structure, penalizes punctuation soup. All-arithmetic —
+    shared SQL. (Shape follows public quality-filter recipes: length
+    + symbol-ratio + stopword signals.)"""
+    toks = token_count_sql(text)
+    punct = (
+        f"({occurrences_sql(text, '.')} + {occurrences_sql(text, ',')}"
+        f" + {occurrences_sql(text, '!')} + {occurrences_sql(text, '#')})"
+    )
+    stop = lang_score_sql(text, "en")
+    return (
+        f"(LEAST(CAST({toks} AS DOUBLE) / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE))"
+        f" * CAST(0.5 AS DOUBLE)"
+        f" + LEAST(CAST({stop} AS DOUBLE) / CAST(10 AS DOUBLE), CAST(1 AS DOUBLE))"
+        f" * CAST(0.3 AS DOUBLE)"
+        f" + GREATEST(CAST(0.2 AS DOUBLE) - CAST({punct} AS DOUBLE)"
+        f" / GREATEST(CAST(LENGTH({text}) AS DOUBLE), CAST(1 AS DOUBLE)),"
+        f" CAST(0 AS DOUBLE)))"
+    )
+
+
+def token_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.when(F.length(c) == 0, F.lit(0)).otherwise(
+        F.length(c) - F.length(F.replace(c, F.lit(" "), F.lit(""))) + 1
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Order-invariant document fingerprint: md5 of the sorted
+    distinct token multiset — catches shuffled-token duplicates that
+    exact md5 misses."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(F.split(c, " "))), " "))

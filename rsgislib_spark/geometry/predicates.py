@@ -1,0 +1,142 @@
+"""Vectorized geometry predicates & measures (pure numpy) + the SQL
+generator for the ray-cast test.
+
+The exact point-in-polygon refinement after the coarse cell join is
+the engine's core custom logic (SURVEY.md §4: the reference's
+filter-refine pattern, e.g. does_vmsk_img_intersect bbox gate at
+python/rsgislib/vectorutils/__init__.py:2197-2246, then exact GEOS).
+We use the classic even-odd ray cast (public algorithm, PNPOLY): a
+point is inside iff a ray to +inf in x crosses the boundary an odd
+number of times. Holes need no special casing — crossing a hole edge
+flips parity back out.
+
+CRITICAL INVARIANT: ``_CROSS_SQL`` and ``point_in_rings`` implement
+the *identical* IEEE-754 expression, so a Spark pandas-UDF refine and
+a DuckDB CASE-WHEN oracle agree bit-for-bit:
+
+    crosses(edge (x1,y1)-(x2,y2), point (x,y)) =
+        ((y1 > y) != (y2 > y)) AND (x < (x2-x1) * (y-y1) / (y2-y1) + x1)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+EARTH_RADIUS_M = 6371008.8  # IUGG mean radius (public constant)
+
+
+# ---------------------------------------------------------------- ray cast
+
+def point_in_rings(px: np.ndarray, py: np.ndarray, rings: list) -> np.ndarray:
+    """Even-odd point-in-polygon for arrays of points vs one polygon.
+
+    rings: list of (k,2) float64 arrays (shell + holes, closed).
+    Returns bool array. Boundary semantics follow the half-open rule
+    of the crossing formula (matches the SQL oracle exactly).
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    crossings = np.zeros(px.shape, dtype=np.int64)
+    for ring in rings:
+        x1, y1 = ring[:-1, 0], ring[:-1, 1]
+        x2, y2 = ring[1:, 0], ring[1:, 1]
+        # broadcast: points (n,1) vs edges (m,)
+        pyb = py[:, None]
+        pxb = px[:, None]
+        cond = (y1 > pyb) != (y2 > pyb)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xs = (x2 - x1) * (pyb - y1) / (y2 - y1) + x1
+        crossings += np.sum(cond & (pxb < xs), axis=1)
+    return (crossings % 2) == 1
+
+
+def raycast_sql(x: str, y: str, rings: list) -> str:
+    """DuckDB/Spark-SQL boolean expression: point ({x},{y}) inside the
+    literal polygon ``rings`` under the identical crossing formula."""
+    terms = []
+    for ring in rings:
+        ring = np.asarray(ring, dtype=np.float64)
+        for (x1, y1), (x2, y2) in zip(ring[:-1].tolist(), ring[1:].tolist()):
+            # literals CAST AS DOUBLE: DuckDB types bare decimals as
+            # DECIMAL and would evaluate literal-literal subexpressions
+            # in exact decimal arithmetic, diverging from Spark doubles
+            cx1, cy1 = f"CAST({x1!r} AS DOUBLE)", f"CAST({y1!r} AS DOUBLE)"
+            cx2, cy2 = f"CAST({x2!r} AS DOUBLE)", f"CAST({y2!r} AS DOUBLE)"
+            terms.append(
+                f"(CASE WHEN (({cy1} > {y}) <> ({cy2} > {y}))"
+                f" AND ({x} < ({cx2} - {cx1}) * ({y} - {cy1})"
+                f" / ({cy2} - {cy1}) + {cx1}) THEN 1 ELSE 0 END)"
+            )
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+# ---------------------------------------------------------------- measures
+
+def ring_bbox(rings: list) -> tuple:
+    xs = np.concatenate([r[:, 0] for r in rings])
+    ys = np.concatenate([r[:, 1] for r in rings])
+    return float(xs.min()), float(ys.min()), float(xs.max()), float(ys.max())
+
+
+def shoelace_area(rings: list) -> float:
+    """Planar polygon area (shell positive, holes subtract when wound
+    oppositely; we take |area| per ring with shell-first convention:
+    shell - holes). Reference analog: calc_vec_area
+    (python/rsgislib/vectorattrs/__init__.py:1873, geopandas .area)."""
+    total = 0.0
+    for i, ring in enumerate(rings):
+        x, y = ring[:, 0], ring[:, 1]
+        a = 0.5 * abs(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+        total += a if i == 0 else -a
+    return total
+
+
+def ring_length(rings: list) -> float:
+    """Planar perimeter. Reference analog: calc_vec_length
+    (vectorattrs/__init__.py:1906)."""
+    total = 0.0
+    for ring in rings:
+        d = np.diff(ring, axis=0)
+        total += float(np.sum(np.hypot(d[:, 0], d[:, 1])))
+    return total
+
+
+def centroid(rings: list) -> tuple:
+    """Area-weighted polygon centroid (shell ring only — matches the
+    common 'representative point for low-res lookup' use in
+    calc_zonal_poly_pts_band_stats, zonalstats/__init__.py:570)."""
+    ring = rings[0]
+    x, y = ring[:-1, 0], ring[:-1, 1]
+    x2, y2 = ring[1:, 0], ring[1:, 1]
+    cross = x * y2 - x2 * y
+    a = np.sum(cross) / 2.0
+    if abs(a) < 1e-300:
+        return float(np.mean(x)), float(np.mean(y))
+    cx = np.sum((x + x2) * cross) / (6.0 * a)
+    cy = np.sum((y + y2) * cross) / (6.0 * a)
+    return float(cx), float(cy)
+
+
+def haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
+    """Great-circle distance in meters (vectorized)."""
+    lon1, lat1 = np.radians(lon1), np.radians(lat1)
+    lon2, lat2 = np.radians(lon2), np.radians(lat2)
+    dlon, dlat = lon2 - lon1, lat2 - lat1
+    a = np.sin(dlat / 2) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2) ** 2
+    return 2 * EARTH_RADIUS_M * np.arcsin(np.sqrt(a))
+
+
+def unwrap_antimeridian(rings: list) -> list:
+    """Shift negative longitudes +360 for polygons spanning >180 deg,
+    mirroring the reference's wide-polygon unwrap
+    (geopd_check_polys_wgs84_bounds_geometry,
+    python/rsgislib/vectorutils/__init__.py:2973-3091: polygons wider
+    than ~350 deg get coordinates unwrapped past +/-180)."""
+    out = []
+    for ring in rings:
+        ring = np.asarray(ring, dtype=np.float64)
+        if ring[:, 0].max() - ring[:, 0].min() > 180.0:
+            ring = ring.copy()
+            ring[:, 0] = np.where(ring[:, 0] < 0.0, ring[:, 0] + 360.0, ring[:, 0])
+        out.append(ring)
+    return out

@@ -1,0 +1,191 @@
+"""kNN and radius joins.
+
+``match_closest_vec_pts`` (reference:
+python/rsgislib/vectorutils/__init__.py:3482-3599) computes a FULL
+distance matrix and its own docstring says "not intended to be used
+with large datasets". Our scalable plan:
+
+- small site table (the usual case — sites ≪ points): broadcast the
+  sites into an Arrow-batched pandas UDF that argmins per batch —
+  zero shuffle, embarrassingly parallel over point partitions;
+- large site table: iterative H3-style k-ring expansion — join points
+  to sites on k_ring(cell, r) for growing r, keep rows whose best
+  candidate is provably nearer than the unexplored ring shell, repeat
+  for the rest (the north star's "kNN via iterative H3 k-ring
+  expansion").
+
+Tie-break: the reference RAISES on distance ties
+(vectorutils/__init__.py:3552-3557). We instead break ties
+deterministically by lowest site id — a documented divergence
+(SURVEY.md §7 hard parts).
+
+Distances: planar squared degrees by default (bit-reproducible
+arithmetic: products/sums only — the gated correctness path);
+haversine_m available for metric radii.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..cells import quadcell
+from ..geometry.predicates import haversine_m
+
+
+def knn_broadcast(points: DataFrame, sites: DataFrame, k: int = 1,
+                  lon: str = "lon", lat: str = "lat",
+                  site_id: str = "site_id", site_lon: str = "site_lon",
+                  site_lat: str = "site_lat",
+                  max_dist: float | None = None) -> DataFrame:
+    """Nearest site(s) per point, sites broadcast (k=1 default mirrors
+    match_closest_vec_pts; max_dist is its tolerance cut).
+
+    Output: points columns + nn_site_id, nn_dist_sq (planar deg^2),
+    nn_rank (1..k). Points with no site within max_dist are dropped
+    for k rows (reference drops them from the attribute copy)."""
+    site_rows = sites.select(site_id, site_lon, site_lat).collect()
+    s_id = np.array([r[0] for r in site_rows], dtype=np.int64)
+    s_lon = np.array([r[1] for r in site_rows], dtype=np.float64)
+    s_lat = np.array([r[2] for r in site_rows], dtype=np.float64)
+    # pre-sort by id so lexical argmin tie-breaks on lowest id
+    order = np.argsort(s_id, kind="stable")
+    s_id, s_lon, s_lat = s_id[order], s_lon[order], s_lat[order]
+    kk = int(k)
+
+    def _nn(batches):
+        for pdf in batches:
+            px = pdf[lon].to_numpy(dtype=np.float64)
+            py = pdf[lat].to_numpy(dtype=np.float64)
+            dx = px[:, None] - s_lon[None, :]
+            dy = py[:, None] - s_lat[None, :]
+            d2 = dx * dx + dy * dy
+            if kk == 1:
+                best = np.argmin(d2, axis=1)  # first (lowest id) on ties
+                out = pdf.copy()
+                out["nn_site_id"] = s_id[best]
+                out["nn_dist_sq"] = d2[np.arange(len(best)), best]
+                out["nn_rank"] = 1
+            else:
+                idx = np.argsort(d2, axis=1, kind="stable")[:, :kk]
+                rows = np.repeat(np.arange(len(px)), idx.shape[1])
+                out = pdf.iloc[rows].reset_index(drop=True)
+                out["nn_site_id"] = s_id[idx.ravel()]
+                out["nn_dist_sq"] = d2[rows, idx.ravel()]
+                out["nn_rank"] = np.tile(np.arange(1, idx.shape[1] + 1), len(px))
+            if max_dist is not None:
+                out = out[out["nn_dist_sq"] <= max_dist * max_dist]
+            yield out
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in points.schema.fields)
+    schema += f", nn_site_id BIGINT, nn_dist_sq DOUBLE, nn_rank INT"
+    return points.mapInPandas(_nn, schema=schema)
+
+
+def knn_kring(points: DataFrame, sites: DataFrame, res: int = 4,
+              lon: str = "lon", lat: str = "lat",
+              site_id: str = "site_id", site_lon: str = "site_lon",
+              site_lat: str = "site_lat",
+              max_rings: int = 8) -> DataFrame:
+    """k=1 nearest neighbour via iterative k-ring expansion join — the
+    shuffle path for LARGE site tables.
+
+    Round r: candidates = points ⋈ sites on (point cell ∈
+    k_ring(site cell, r)). A match at squared distance d2 is FINAL
+    when d2 <= (r * cell_h)^2 — no unexplored site can be closer than
+    r-1 full cell heights away (cell_h = lat cell size, the smaller
+    guarantee). Unresolved points go to the next round with r doubled.
+    Falls back to a broadcast argmin for stragglers past max_rings.
+    """
+    cell_h = 180.0 / (1 << res)  # degrees of latitude per cell
+    pts = points.withColumn("cell", quadcell.cell_col(lon, lat, res))
+    sts = sites.withColumn("scell", quadcell.cell_col(site_lon, site_lat, res))
+
+    resolved = None
+    remaining = pts
+    r = 1
+    rounds = 0
+    while rounds < max_rings:
+        cand = (
+            remaining.join(
+                sts.withColumn("jcell", F.explode(quadcell.kring_col("scell", r, res))),
+                remaining["cell"] == F.col("jcell"),
+            )
+            .withColumn(
+                "d2",
+                (F.col(lon) - F.col(site_lon)) * (F.col(lon) - F.col(site_lon))
+                + (F.col(lat) - F.col(site_lat)) * (F.col(lat) - F.col(site_lat)),
+            )
+        )
+        best = (
+            cand.groupBy(*[remaining[c] for c in remaining.columns])
+            .agg(
+                F.min_by(F.col(site_id),
+                         F.struct(F.col("d2").alias("a"),
+                                  F.col(site_id).alias("b"))).alias("nn_site_id"),
+                F.min(F.struct(F.col("d2").alias("a"),
+                               F.col(site_id).alias("b"))).alias("_bs"),
+            )
+            .withColumn("nn_dist_sq", F.col("_bs.a"))
+            .drop("_bs")
+        )
+        guarantee = (r * cell_h) ** 2
+        final = best.where(F.col("nn_dist_sq") <= F.lit(guarantee))
+        resolved = final if resolved is None else resolved.unionByName(final)
+        matched_keys = final.select(*points.columns)
+        remaining = remaining.join(matched_keys, points.columns, "left_anti")
+        if remaining.isEmpty():
+            break
+        r *= 2
+        rounds += 1
+    else:
+        tail = knn_broadcast(remaining.drop("cell"), sites, k=1,
+                             lon=lon, lat=lat, site_id=site_id,
+                             site_lon=site_lon, site_lat=site_lat).drop("nn_rank")
+        resolved = tail if resolved is None else resolved.drop("cell").unionByName(tail)
+        return resolved
+    return resolved.drop("cell") if "cell" in resolved.columns else resolved
+
+
+def radius_count(points: DataFrame, radius_deg: float,
+                 id_col: str = "pt_id", lon: str = "lon",
+                 lat: str = "lat", res: int | None = None) -> DataFrame:
+    """calc_npts_in_radius (vectorattrs/__init__.py:1104-1157): per
+    point, how many OTHER points lie within radius (KDTree ball query
+    minus self). Distributed as a self-join on k-ring(cell, 1) at a
+    res where the cell is at least the radius — every pair within the
+    radius shares a ring — then exact distance filter.
+    """
+    if res is None:
+        res = 3
+        while 180.0 / (1 << (res + 1)) >= radius_deg and res < 12:
+            res += 1
+    a = points.select(
+        F.col(id_col).alias("_ida"), F.col(lon).alias("_lona"),
+        F.col(lat).alias("_lata"),
+    ).withColumn("acell", quadcell.cell_col("_lona", "_lata", res))
+    b = points.select(
+        F.col(id_col).alias("_idb"), F.col(lon).alias("_lonb"),
+        F.col(lat).alias("_latb"),
+    ).withColumn(
+        "jcell",
+        F.explode(quadcell.kring_col(quadcell.cell_col("_lonb", "_latb", res), 1, res)),
+    )
+    r2 = radius_deg * radius_deg
+    pairs = (
+        a.join(b, a["acell"] == b["jcell"])
+        .where(F.col("_ida") != F.col("_idb"))
+        .where(
+            (F.col("_lona") - F.col("_lonb")) * (F.col("_lona") - F.col("_lonb"))
+            + (F.col("_lata") - F.col("_latb")) * (F.col("_lata") - F.col("_latb"))
+            <= F.lit(r2)
+        )
+    )
+    counts = pairs.groupBy("_ida").agg(F.count("*").alias("n_in_radius"))
+    return (
+        points.join(counts, points[id_col] == F.col("_ida"), "left")
+        .drop("_ida")
+        .withColumn("n_in_radius", F.coalesce("n_in_radius", F.lit(0)))
+    )

@@ -1,0 +1,223 @@
+"""Spatial join: cell-prefix hash join + exact ray-cast refinement.
+
+Re-expresses ``perform_spatial_join`` (reference:
+python/rsgislib/vectorattrs/__init__.py:1229-1308 — geopandas sjoin
+over an rtree index, join_how in {left,right,inner}, join_op in
+{intersects,within,contains}) for the points-in-polygons case that
+dominates the web-scale workload (pages are points).
+
+Plan shape (SURVEY.md §3 EP3):
+
+  pages ──(codegen)── cell id at res r ─┐
+                                        ├─ hash join on cell ── bbox
+  polys ── cover cells (numpy, driver) ─┘    prefilter (codegen) ──
+       ray-cast refine (Arrow-batched pandas UDF) ── how-semantics
+
+Scale notes (the 100 TB story):
+- The polygon side is broadcast when its exploded cover is small
+  (< ``broadcast_max_cover`` rows) — no shuffle at all: the join is a
+  map-side BroadcastHashJoin and the refine is a mapPartitions-shaped
+  pandas UDF. This mirrors the reference loading the small layer
+  fully in memory (vectorattrs/__init__.py:1293) but distributes the
+  probe side.
+- For large polygon sets the cover is a DataFrame and Catalyst picks
+  a shuffle hash join on the cell key; dense cells (cities) are the
+  skew risk — see tiling.salt_hot_cells and AQE skew-join config in
+  session.py.
+- The refine UDF sees only candidates that already passed cell AND
+  bbox filters (both JVM-side), so Python touches a small fraction of
+  rows — the reference's filter-refine trick
+  (vectorutils/__init__.py:2197) turned into dataflow.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import BooleanType
+
+from ..cells import quadcell
+from ..geometry import predicates, wkb
+
+DEFAULT_RES = 6
+
+
+class PolygonIndex:
+    """Driver-side polygon set: rings + bbox + cell cover.
+
+    The analog of the reference's rtree
+    (vectorattrs/__init__.py:1283): a structure that maps a point's
+    key to candidate polygons — here realized as rows (poly_id, cell)
+    joined by Catalyst, not a tree probed per row.
+    """
+
+    def __init__(self, polys: list, res: int = DEFAULT_RES):
+        """polys: list of dicts with keys poly_id, rings (float64
+        (k,2) arrays, antimeridian-unwrapped), plus free attrs."""
+        self.res = res
+        self.polys = []
+        for p in polys:
+            rings = [np.asarray(r, dtype=np.float64) for r in p["rings"]]
+            bbox = predicates.ring_bbox(rings)
+            unwrapped = bbox[2] > 180.0
+            self.polys.append(
+                dict(poly_id=int(p["poly_id"]), rings=rings, bbox=bbox,
+                     unwrapped=unwrapped)
+            )
+
+    @classmethod
+    def from_fixture(cls, fixture_polys: list, res: int = DEFAULT_RES):
+        from ..data import fixtures
+
+        return cls(
+            [dict(poly_id=p["poly_id"], rings=fixtures.poly_rings(p))
+             for p in fixture_polys],
+            res=res,
+        )
+
+    @classmethod
+    def from_df(cls, polygons: DataFrame, res: int = DEFAULT_RES,
+                id_col: str = "poly_id", geom_col: str = "geometry"):
+        """Collect a (small) polygon DataFrame; geometry is WKB.
+
+        Collecting the dimension side is the broadcast pattern — the
+        polygon layer is the small side by design (north star: pages
+        >> polygons). For huge polygon layers, pre-explode the cover
+        into a table instead (cover_rows as a DataFrame join).
+        """
+        rows = polygons.select(id_col, geom_col).collect()
+        polys = []
+        for r in rows:
+            rings = predicates.unwrap_antimeridian(wkb.wkb_to_rings(bytes(r[geom_col])))
+            polys.append(dict(poly_id=r[id_col], rings=rings))
+        return cls(polys, res=res)
+
+    # -------------------------------------------------------- cover
+    def cover_rows(self) -> list:
+        """(poly_id, cell, xmin, ymin, xmax, ymax) candidate rows."""
+        out = []
+        for p in self.polys:
+            xmin, ymin, xmax, ymax = p["bbox"]
+            if xmax > 180.0:  # unwrapped antimeridian bbox → wrap signature
+                cells = quadcell.cover_bbox(xmin, ymin, xmax - 360.0, ymax, self.res)
+            else:
+                cells = quadcell.cover_bbox(xmin, ymin, xmax, ymax, self.res)
+            for c in cells.tolist():
+                out.append((p["poly_id"], c, xmin, ymin, xmax, ymax))
+        return out
+
+    def cover_df(self, spark) -> DataFrame:
+        return spark.createDataFrame(
+            self.cover_rows(),
+            "poly_id BIGINT, cell BIGINT, xmin DOUBLE, ymin DOUBLE, "
+            "xmax DOUBLE, ymax DOUBLE",
+        )
+
+    # ------------------------------------------------------- refine
+    def refine_udf(self):
+        """Arrow-batched pandas UDF: (poly_id, lon, lat) → inside.
+
+        Candidates are grouped by poly_id inside each Arrow batch and
+        tested vectorized (point_in_rings broadcasts points x edges).
+        The crossing formula is IEEE-identical to the SQL oracle
+        (predicates.raycast_sql).
+        """
+        rings_by_id = {p["poly_id"]: (p["rings"], p["unwrapped"]) for p in self.polys}
+
+        @F.pandas_udf(BooleanType())
+        def _inside(poly_id: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
+            out = np.zeros(len(poly_id), dtype=bool)
+            pid = poly_id.to_numpy()
+            px = lon.to_numpy(dtype=np.float64)
+            py = lat.to_numpy(dtype=np.float64)
+            for the_id in np.unique(pid):
+                rings, unwrapped = rings_by_id[int(the_id)]
+                m = pid == the_id
+                x = px[m]
+                if unwrapped:
+                    x = np.where(x < 0.0, x + 360.0, x)
+                out[m] = predicates.point_in_rings(x, py[m], rings)
+            return pd.Series(out)
+
+        return _inside
+
+
+def spatial_join(points: DataFrame, index: PolygonIndex, how: str = "inner",
+                 lon: str = "lon", lat: str = "lat",
+                 broadcast_max_cover: int = 4_000_000) -> DataFrame:
+    """Join points to the polygons containing them.
+
+    how='inner' → matched (point, poly) pairs (a point in k polygons
+    yields k rows — sjoin fan-out semantics); how='left' → unmatched
+    points kept with null poly_id; how='left_semi' → just the matched
+    points, deduped (spatial_select_gp semantics,
+    vectorutils/__init__.py:1585: tmp unique id + drop_duplicates).
+    """
+    if how not in {"inner", "left", "left_semi"}:
+        raise ValueError(f"join_how must be inner/left/left_semi, got {how}")
+
+    spark = points.sparkSession
+    cover = index.cover_df(spark)
+    if len(index.cover_rows()) <= broadcast_max_cover:
+        cover = F.broadcast(cover)
+
+    pts = points.withColumn("cell", quadcell.cell_col(lon, lat, index.res))
+    cand = (
+        pts.join(cover, "cell")
+        .where(
+            (F.col(lon) >= F.col("xmin")) & (F.col(lon) <= F.col("xmax"))
+            & (F.col(lat) >= F.col("ymin")) & (F.col(lat) <= F.col("ymax"))
+            # antimeridian bbox: xmax>180 means the wrapped-west part
+            # is also in range; re-check lon+360
+            | ((F.col("xmax") > 180.0) & (F.col(lon) + 360.0 >= F.col("xmin"))
+               & (F.col(lon) + 360.0 <= F.col("xmax"))
+               & (F.col(lat) >= F.col("ymin")) & (F.col(lat) <= F.col("ymax")))
+        )
+    )
+    inside = index.refine_udf()
+    matched = (
+        cand.where(inside(F.col("poly_id"), F.col(lon), F.col(lat)))
+        .drop("cell", "xmin", "ymin", "xmax", "ymax")
+    )
+
+    if how == "inner":
+        return matched
+    if how == "left_semi":
+        key_cols = [c for c in points.columns]
+        return matched.select(*key_cols).dropDuplicates(key_cols)
+    # left: keep unmatched points with null poly_id
+    return points.join(
+        matched.select(*points.columns, "poly_id"), points.columns, "left"
+    )
+
+
+def count_points_per_polygon(points: DataFrame, index: PolygonIndex,
+                             lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """count_pt_intersects semantics
+    (vectorattrs/__init__.py:1022-1103): per-polygon count of
+    intersecting points; polygons with no points get NULL (the pandas
+    left-merge leaves NaN, which the reference writes as missing)."""
+    spark = points.sparkSession
+    matched = spatial_join(points, index, how="inner", lon=lon, lat=lat)
+    counts = matched.groupBy("poly_id").agg(F.count("*").alias("n_points"))
+    ids = spark.createDataFrame(
+        [(p["poly_id"],) for p in index.polys], "poly_id BIGINT"
+    )
+    return ids.join(counts, "poly_id", "left")
+
+
+def annotate_selection(points: DataFrame, index: PolygonIndex,
+                       flag_col: str = "sel", lon: str = "lon",
+                       lat: str = "lat") -> DataFrame:
+    """annotate_vec_selection semantics
+    (vectorattrs/__init__.py:1158): boolean flag = point intersects
+    any polygon (left join + isNotNull)."""
+    matched = (
+        spatial_join(points, index, how="inner", lon=lon, lat=lat)
+        .select(*points.columns).dropDuplicates(points.columns)
+        .withColumn(flag_col, F.lit(True))
+    )
+    return points.join(matched, points.columns, "left").withColumn(
+        flag_col, F.coalesce(F.col(flag_col), F.lit(False))
+    )

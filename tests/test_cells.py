@@ -1,0 +1,106 @@
+"""Cell-index unit tests (numpy + duckdb; no Spark needed)."""
+
+import duckdb
+import numpy as np
+
+from rsgislib_spark.cells import quadcell, s2cell
+
+rng = np.random.default_rng(42)
+LON = rng.uniform(-180, 179.999, 500)
+LAT = rng.uniform(-90, 89.999, 500)
+
+
+def test_pack_unpack_roundtrip():
+    cells = quadcell.cell_np(LON, LAT, 9)
+    assert (quadcell.cell_res(int(cells[0]))) == 9
+    cx, cy = quadcell.cell_xy(cells)
+    assert np.array_equal(quadcell.pack(9, cx, cy), cells)
+
+
+def test_cell_sql_matches_numpy():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES "
+                + ",".join(f"({x!r}, {y!r})" for x, y in zip(LON.tolist(), LAT.tolist()))
+                + ") v(lon, lat)")
+    for res in (5, 9, 13):
+        got = np.array([r[0] for r in con.execute(
+            f"SELECT {quadcell.cell_sql('lon', 'lat', res)} FROM t").fetchall()])
+        assert np.array_equal(got, quadcell.cell_np(LON, LAT, res)), res
+
+
+def test_parent_contains_child():
+    child = quadcell.cell_np(LON, LAT, 11)
+    parent = quadcell.parent_np(child, 6)
+    direct = quadcell.cell_np(LON, LAT, 6)
+    assert np.array_equal(parent, direct)
+
+
+def test_cell_bounds_contain_point():
+    cells = quadcell.cell_np(LON, LAT, 8)
+    x0, y0, x1, y1 = quadcell.cell_bounds_np(cells)
+    assert np.all((LON >= x0) & (LON < x1) & (LAT >= y0) & (LAT < y1))
+
+
+def test_kring_includes_self_and_neighbours():
+    cells = quadcell.cell_np(LON[:10], LAT[:10], 7)
+    rings = quadcell.kring_np(cells, 1)
+    assert rings.shape[1] == 9
+    for i, c in enumerate(cells):
+        assert c in rings[i]
+
+
+def test_kring_wraps_longitude():
+    cell = quadcell.cell_np(np.array([-179.9]), np.array([0.0]), 5)
+    ring = quadcell.kring_np(cell, 1)[0]
+    ring = ring[ring >= 0]
+    xs = {int(quadcell.cell_xy(int(c))[0]) for c in ring}
+    n = 1 << 5
+    assert (n - 1) in xs and 0 in xs and 1 in xs
+
+
+def test_cover_bbox_covers_points():
+    cover = set(quadcell.cover_bbox(-10.0, -5.0, 20.0, 15.0, 7).tolist())
+    inside = (LON >= -10) & (LON <= 20) & (LAT >= -5) & (LAT <= 15)
+    cells = quadcell.cell_np(LON[inside], LAT[inside], 7)
+    assert set(cells.tolist()) <= cover
+
+
+def test_cover_bbox_antimeridian():
+    cover = set(quadcell.cover_bbox(170.0, -5.0, -175.0, 15.0, 6).tolist())
+    # points on both sides of the dateline must be covered
+    pl = quadcell.cell_np(np.array([175.0, -179.0]), np.array([0.0, 10.0]), 6)
+    assert set(pl.tolist()) <= cover
+
+
+def test_s2_sql_matches_numpy():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES "
+                + ",".join(f"({x!r}, {y!r})" for x, y in zip(LON.tolist(), LAT.tolist()))
+                + ") v(lon, lat)")
+    got = np.array([r[0] for r in con.execute(
+        f"SELECT {s2cell.cell_sql('lon', 'lat', 10)} FROM t").fetchall()])
+    want = s2cell.cell_np(LON, LAT, 10)
+    # trig may differ by 1 ulp at cell boundaries — allow none here
+    # because the fixture points are generic positions
+    assert np.array_equal(got, want)
+
+
+def test_s2_faces_partition_sphere():
+    cells = s2cell.cell_np(LON, LAT, 10)
+    faces = cells // s2cell.FACE_SHIFT
+    assert set(faces.tolist()) <= set(range(6))
+    assert len(set(faces.tolist())) == 6  # 500 uniform points hit all faces
+
+
+def test_s2_parent_rollup():
+    child = s2cell.cell_np(LON, LAT, 12)
+    parent = s2cell.parent_np(child, 12, 6)
+    direct = s2cell.cell_np(LON, LAT, 6)
+    assert np.array_equal(parent, direct)
+
+
+def test_adaptive_cover_res_bounds():
+    r_small = quadcell.adaptive_cover_res(0, 0, 0.1, 0.1)
+    r_big = quadcell.adaptive_cover_res(-180, -90, 180, 90)
+    assert r_small > r_big
+    assert 5 <= r_big <= 13 and 5 <= r_small <= 13
