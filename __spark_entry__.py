@@ -279,6 +279,565 @@ def q_dedup_exact_sql() -> str:
     )
 
 
+# ------------------------------------------------------------- relational ops
+
+def q_vector_maths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vector_maths / band_math: muparser expression -> codegen column
+    (python/src/vectorutils.cpp:215; imagecalc.cpp:1799). The ternary
+    is the reference's own NDVI guard idiom (calcindices.py:80)."""
+    from rsgislib_spark.functions import expressions
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = expressions.band_math(
+        li, "net",
+        "l_quantity > 25 ? l_extendedprice * (1.0 - l_discount) : 0.0")
+    return out.select("l_orderkey", "l_linenumber", "net")
+
+
+def q_vector_maths_sql() -> str:
+    return ("SELECT l_orderkey, l_linenumber, CASE WHEN l_quantity > 25 "
+            "THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS net "
+            "FROM lineitem")
+
+
+def q_subset_by_attribute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """subset_by_attribute (vectorutils/__init__.py:2688)."""
+    from rsgislib_spark.operators import vector_ops as V
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return V.subset_by_attribute(part, "p_type", ["ECONOMY", "PROMO"]).select(
+        "p_partkey", "p_type", "p_size")
+
+
+def q_subset_by_attribute_sql() -> str:
+    return ("SELECT p_partkey, p_type, p_size FROM part "
+            "WHERE p_type IN ('ECONOMY', 'PROMO')")
+
+
+def q_drop_by_attribute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """drop_rows_by_attribute (vectorutils/__init__.py:2794)."""
+    from rsgislib_spark.operators import vector_ops as V
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return V.drop_rows_by_attribute(part, "p_brand", ["Brand#13"],
+                                    match="equals").select("p_partkey", "p_brand")
+
+
+def q_drop_by_attribute_sql() -> str:
+    return "SELECT p_partkey, p_brand FROM part WHERE NOT p_brand IN ('Brand#13')"
+
+
+def q_unq_numeric_col(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """add_unq_numeric_col (vectorattrs/__init__.py:580): dense_rank
+    per distinct value."""
+    from rsgislib_spark.operators import vector_ops as V
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return V.add_unq_numeric_col(cust, "c_mktsegment").select(
+        "c_custkey", "c_mktsegment", "unq_id")
+
+
+def q_unq_numeric_col_sql() -> str:
+    return ("SELECT c_custkey, c_mktsegment, "
+            "DENSE_RANK() OVER (ORDER BY c_mktsegment) AS unq_id FROM customer")
+
+
+def q_range_lut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """add_numeric_col_range_lut (vectorattrs/__init__.py:1687) as a
+    CASE chain."""
+    from rsgislib_spark.operators import vector_ops as V
+
+    lut = [(0, 100000, 1), (100000, 200000, 2), (200000, 400000, 3)]
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return V.range_lut(orders, "o_totalprice", lut, "bucket", default=0).select(
+        "o_orderkey", "bucket")
+
+
+def q_range_lut_sql() -> str:
+    from rsgislib_spark.functions.expressions import range_lut_case_sql
+
+    lut = [(0, 100000, 1), (100000, 200000, 2), (200000, 400000, 3)]
+    return ("SELECT o_orderkey, "
+            + range_lut_case_sql("o_totalprice", lut, default="0")
+            + " AS bucket FROM orders")
+
+
+def q_range_lut_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-driven range LUT as broadcast non-equi (interval) join."""
+    from rsgislib_spark.operators import vector_ops as V
+
+    lut = spark.createDataFrame(
+        [(0.0, 150000.0, "low"), (150000.0, 300000.0, "mid"),
+         (300000.0, 1e9, "high")], "lo DOUBLE, hi DOUBLE, label STRING")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return V.range_lut_join(orders, "o_totalprice", lut).select(
+        "o_orderkey", "label")
+
+
+def q_range_lut_join_sql() -> str:
+    return """
+SELECT o_orderkey, label FROM orders LEFT JOIN (VALUES
+ (CAST(0 AS DOUBLE), CAST(150000 AS DOUBLE), 'low'),
+ (CAST(150000 AS DOUBLE), CAST(300000 AS DOUBLE), 'mid'),
+ (CAST(300000 AS DOUBLE), CAST(1000000000 AS DOUBLE), 'high')) lut(lo, hi, label)
+ON o_totalprice >= lo AND o_totalprice < hi
+"""
+
+
+def q_rm_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rm_attrib_duplicates (vectorutils/__init__.py:3666) with a
+    deterministic keeper (lowest event_id)."""
+    from rsgislib_spark.operators import vector_ops as V
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type", "value")
+    return V.rm_duplicates(
+        ev.withColumn("k", F.concat_ws("_", "user_id", "event_type")),
+        "k", "event_id").drop("k")
+
+
+def q_rm_duplicates_sql() -> str:
+    return """
+SELECT event_id, user_id, event_type, value FROM (
+  SELECT event_id, user_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY event_id) AS rn
+  FROM events) t WHERE rn = 1
+"""
+
+
+def q_merge_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge_vector_layers (vectorutils/__init__.py:2906): UNION ALL
+    with schema alignment."""
+    from rsgislib_spark.operators import vector_ops as V
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").selectExpr(
+        "c_name AS name", "c_acctbal AS acctbal", "'customer' AS src")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").selectExpr(
+        "s_name AS name", "s_acctbal AS acctbal", "'supplier' AS src")
+    return V.merge_tables([cust, supp])
+
+
+def q_merge_tables_sql() -> str:
+    return ("SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS src "
+            "FROM customer UNION ALL SELECT s_name, s_acctbal, 'supplier' "
+            "FROM supplier")
+
+
+def q_count_per_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_feats_per_att_val (vectorutils/__init__.py:323)."""
+    from rsgislib_spark.operators import vector_ops as V
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return V.count_per_value(ev, "event_type")
+
+
+def q_count_per_value_sql() -> str:
+    return "SELECT event_type, COUNT(*) AS n_feats FROM events GROUP BY 1"
+
+
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split_vec_lyr_random_subset (vectorutils/__init__.py:3248) as a
+    deterministic hash sample (documented divergence: reproducible
+    across engines, unlike an RNG stream)."""
+    from rsgislib_spark.operators import vector_ops as V
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return V.deterministic_sample(orders, "o_orderkey", 10).select("o_orderkey")
+
+
+def q_sample_sql() -> str:
+    return "SELECT o_orderkey FROM orders WHERE (o_orderkey * 2654435761) % 100 < 10"
+
+
+def q_topk_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sort_vec_lyr (vectorattrs/__init__.py:920) + top-k limit
+    (deterministic tie-break on the key)."""
+    from rsgislib_spark.operators import vector_ops as V
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        V.sort_by(orders, ["o_totalprice", "o_orderkey"], [False, True])
+        .limit(100).select("o_orderkey", "o_totalprice")
+    )
+
+
+def q_topk_sort_sql() -> str:
+    return ("SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100")
+
+
+def q_create_name_col(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """create_name_col (vectorattrs/__init__.py:453): cleaned concat
+    name column."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return cust.select(
+        "c_custkey",
+        F.lower(F.concat_ws("_", F.replace("c_name", F.lit("Customer#"), F.lit("c")),
+                            "c_mktsegment")).alias("clean_name"),
+    )
+
+
+def q_create_name_col_sql() -> str:
+    return ("SELECT c_custkey, LOWER(CONCAT_WS('_', "
+            "REPLACE(c_name, 'Customer#', 'c'), c_mktsegment)) AS clean_name "
+            "FROM customer")
+
+
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation (ROLLUP) — the reference's per-band
+    repeated stats generalized (rastergis.cpp:1745 BandAttStats
+    lists)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.count("*").alias("n"))
+    )
+
+
+def q_rollup_agg_sql() -> str:
+    return ("SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, "
+            "COUNT(*) AS n FROM lineitem "
+            "GROUP BY ROLLUP(l_returnflag, l_linestatus)")
+
+
+def q_cat_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """populate_rat_with_cat_proportions (rastergis.cpp:1792): per
+    group, per-category proportions."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    counts = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("n"))
+    totals = cust.groupBy("c_nationkey").agg(F.count("*").alias("tot"))
+    return (
+        counts.join(totals, "c_nationkey")
+        .select("c_nationkey", "c_mktsegment",
+                (F.col("n") / F.col("tot").cast("double")).alias("prop"))
+    )
+
+
+def q_cat_proportions_sql() -> str:
+    return """
+WITH counts AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+                FROM customer GROUP BY 1, 2),
+tot AS (SELECT c_nationkey, COUNT(*) AS tot FROM customer GROUP BY 1)
+SELECT counts.c_nationkey, c_mktsegment,
+       n / CAST(tot AS DOUBLE) AS prop
+FROM counts JOIN tot ON counts.c_nationkey = tot.c_nationkey
+"""
+
+
+def q_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window: per-user inter-event gap (lag) — the SQL
+    window member of the rubric (reference has only the kNN ranking
+    analog, SURVEY.md §2.5)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp"))  # parquet NTZ -> TIMESTAMP (UTC session)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("delta_us"),
+    )
+
+
+def q_event_deltas_sql() -> str:
+    return """
+SELECT event_id, epoch_us(ts) - LAG(epoch_us(ts)) OVER
+  (PARTITION BY user_id ORDER BY ts, event_id) AS delta_us
+FROM events
+"""
+
+
+def q_bbox_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spatial_select_bbox (vectorutils/__init__.py:3716) /
+    get_att_lst_select_bbox_feats (:1269): pure bbox predicate —
+    the partition-pruning path."""
+    return _points(spark, sf_dir).where(
+        "lon >= CAST(-60 AS DOUBLE) AND lon <= CAST(-20 AS DOUBLE) "
+        "AND lat >= CAST(-10 AS DOUBLE) AND lat <= CAST(30 AS DOUBLE)"
+    ).select("pt_id", "lon", "lat")
+
+
+def q_bbox_select_sql() -> str:
+    return (f"WITH pts AS ({PTS_SQL}) SELECT pt_id, lon, lat FROM pts "
+            "WHERE lon >= CAST(-60 AS DOUBLE) AND lon <= CAST(-20 AS DOUBLE) "
+            "AND lat >= CAST(-10 AS DOUBLE) AND lat <= CAST(30 AS DOUBLE)")
+
+
+def q_knn_kring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SHUFFLE kNN path: iterative k-ring expansion join (north
+    star: 'kNN via iterative H3 k-ring expansion'). Same oracle as
+    the broadcast path — both must agree with the cross-join truth."""
+    pts = _points(spark, sf_dir)
+    out = knn_ops.knn_kring(pts, derived.sites_df(spark), res=4)
+    return out.select("pt_id", "nn_site_id", "nn_dist_sq")
+
+
+# ------------------------------------------------------------------ raster ops
+
+def _grid_pts_sql() -> str:
+    """Derived points in/near the grid extent, from part keys."""
+    return (
+        "SELECT p_partkey AS pt_id, "
+        "CAST((p_partkey * 31 + 7) % 140000 AS DOUBLE) / CAST(1000000 AS DOUBLE)"
+        " - CAST(1 AS DOUBLE) AS lon, "
+        "CAST(52 AS DOUBLE) - CAST((p_partkey * 17 + 3) % 140000 AS DOUBLE)"
+        " / CAST(1000000 AS DOUBLE) AS lat FROM part"
+    )
+
+
+def q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rasterise_vec_lyr (createrasters.py:14): burn polygons under
+    the pixel-CENTER rule; highest id wins overlaps. Arrow-batched
+    mapInPandas rasterization (the north star's per-tile path)."""
+    from rsgislib_spark.operators import raster
+
+    grid = fixtures.grid_df(spark, bands=(1,))
+    return raster.rasterize_polygons(
+        grid, fixtures.GRID_POLYGONS,
+        fixtures.GRID_ORIGIN_X, fixtures.GRID_ORIGIN_Y, fixtures.GRID_RES)
+
+
+def q_rasterize_sql() -> str:
+    from rsgislib_spark.geometry.predicates import raycast_sql
+    from rsgislib_spark.operators.raster import pixel_center_exprs
+
+    lon, lat = pixel_center_exprs(
+        fixtures.GRID_ORIGIN_X, fixtures.GRID_ORIGIN_Y, fixtures.GRID_RES)
+    whens = []
+    for p in sorted(fixtures.GRID_POLYGONS, key=lambda q: -q["poly_id"]):
+        import numpy as np
+
+        rings = [np.asarray(r, dtype=np.float64) for r in p["rings"]]
+        whens.append(f"WHEN {raycast_sql(lon, lat, rings)} "
+                     f"THEN CAST({p['poly_id']} AS BIGINT)")
+    burn = "CASE " + " ".join(whens) + " ELSE CAST(-1 AS BIGINT) END"
+    return (f"WITH grid AS ({fixtures.GRID_DUCKDB_SQL}) "
+            f"SELECT x, y, {burn} AS burn FROM grid "
+            f"WHERE {burn} >= 0")
+
+
+def q_point_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext_point_band_values (zonalstats/__init__.py:1328): point ->
+    pixel value via floor arithmetic; out-of-image / no-data ->
+    sentinel -9999."""
+    from rsgislib_spark.operators import raster
+
+    pts = spark.read.parquet(f"{sf_dir}/part.parquet").selectExpr(
+        "p_partkey AS pt_id",
+        "CAST((p_partkey * 31 + 7) % 140000 AS DOUBLE) / CAST(1000000 AS DOUBLE)"
+        " - CAST(1 AS DOUBLE) AS lon",
+        "CAST(52 AS DOUBLE) - CAST((p_partkey * 17 + 3) % 140000 AS DOUBLE)"
+        " / CAST(1000000 AS DOUBLE) AS lat",
+    )
+    grid = fixtures.grid_df(spark, bands=(1,))
+    out = raster.extract_point_values(
+        pts, grid, fixtures.GRID_ORIGIN_X, fixtures.GRID_ORIGIN_Y,
+        fixtures.GRID_RES, band=1, out_no_data=-9999.0,
+        no_data_val=fixtures.GRID_NODATA)
+    return out.select("pt_id", "pix_val")
+
+
+def q_point_extract_sql() -> str:
+    from rsgislib_spark.operators.raster import point_to_pixel_exprs
+
+    px, py = point_to_pixel_exprs(
+        fixtures.GRID_ORIGIN_X, fixtures.GRID_ORIGIN_Y, fixtures.GRID_RES)
+    return f"""
+WITH grid AS ({fixtures.GRID_DUCKDB_SQL}),
+pts AS ({_grid_pts_sql()}),
+j AS (SELECT pts.pt_id, grid.value FROM pts
+      LEFT JOIN grid ON {px} = grid.x AND {py} = grid.y)
+SELECT pt_id, COALESCE(
+  CASE WHEN value = CAST(-99 AS DOUBLE) THEN NULL ELSE value END,
+  CAST(-9999 AS DOUBLE)) AS pix_val FROM j
+"""
+
+
+def q_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """apply_mean_filter (imagefilter/__init__.py:105): 3x3 focal mean
+    via halo'd tiles in applyInPandas (reference's own tile+overlap
+    trick, imageutils.cpp:2061)."""
+    from rsgislib_spark.operators import raster
+
+    grid = fixtures.grid_df(spark, bands=(1,))
+    return raster.focal_filter(grid, stat="mean", k=3, tile=64)
+
+
+def q_focal_mean_sql() -> str:
+    return f"""
+WITH grid AS ({fixtures.GRID_DUCKDB_SQL})
+SELECT a.x, a.y, SUM(b.value) / COUNT(b.value) AS focal
+FROM grid a JOIN grid b
+  ON b.x BETWEEN a.x - 1 AND a.x + 1 AND b.y BETWEEN a.y - 1 AND a.y + 1
+GROUP BY a.x, a.y
+"""
+
+
+def q_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """create_img_mosaic (imageutils.cpp:2095): overlapping tiles
+    merged per-pixel (max rule)."""
+    from rsgislib_spark.operators import raster
+
+    grid = fixtures.grid_df(spark, bands=(1,))
+    t1 = grid.where("x < 68").withColumn("tile_id", F.lit("A"))
+    t2 = (grid.where("x >= 60")
+          .withColumn("value", F.col("value") + 5.0)
+          .withColumn("tile_id", F.lit("B")))
+    return raster.mosaic(t1.unionByName(t2), how="max")
+
+
+def q_mosaic_sql() -> str:
+    return (f"WITH grid AS ({fixtures.GRID_DUCKDB_SQL}) "
+            "SELECT x, y, band, CASE WHEN x >= 60 THEN value + 5.0 "
+            "ELSE value END AS value FROM grid")
+
+
+def q_grid_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_histogram (imagecalc.cpp:2073): fixed-width buckets."""
+    grid = fixtures.grid_df(spark, bands=(1,))
+    bucket = ("CAST(FLOOR((value + CAST(99 AS DOUBLE)) / CAST(1099 AS DOUBLE)"
+              " * CAST(20 AS DOUBLE)) AS BIGINT)")
+    return grid.selectExpr(f"{bucket} AS bucket").groupBy("bucket").agg(
+        F.count("*").alias("n"))
+
+
+def q_grid_histogram_sql() -> str:
+    bucket = ("CAST(FLOOR((value + CAST(99 AS DOUBLE)) / CAST(1099 AS DOUBLE)"
+              " * CAST(20 AS DOUBLE)) AS BIGINT)")
+    return (f"WITH grid AS ({fixtures.GRID_DUCKDB_SQL}) "
+            f"SELECT {bucket} AS bucket, COUNT(*) AS n FROM grid GROUP BY 1")
+
+
+def q_band_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """calc_band_percentile (imagecalc.cpp:2088), exact percentile."""
+    from rsgislib_spark.operators import raster
+
+    grid = fixtures.grid_df(spark, bands=(1,))
+    return raster.band_percentile(grid, band=1, pct=0.25)
+
+
+def q_band_percentile_sql() -> str:
+    return (f"WITH grid AS ({fixtures.GRID_DUCKDB_SQL}) "
+            "SELECT CAST(quantile_cont(value, 0.25) AS DOUBLE) AS pct_val "
+            "FROM grid")
+
+
+# ------------------------------------------------------------------ webtext ops
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (shingle self-join) —
+    training-data dedup baseline; the oracle for the MinHash path."""
+    from rsgislib_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+def q_ngram_jaccard_sql() -> str:
+    return """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+idx AS (SELECT doc_id, t, UNNEST(range(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 3),
+sh AS (SELECT DISTINCT doc_id,
+              t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS shingle FROM idx),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+inter AS (SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS n
+          FROM sh l JOIN sh r USING (shingle)
+          WHERE l.doc_id < r.doc_id GROUP BY 1, 2)
+SELECT a, b, n / CAST(sa.sz + sb.sz - n AS DOUBLE) AS jaccard
+FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+WHERE n / CAST(sa.sz + sb.sz - n AS DOUBLE) >= 0.5
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banding LSH near-dup candidates, exact-verified
+    (rows-only gate; recall vs brute force is asserted in pytest)."""
+    from rsgislib_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.minhash_lsh_pairs(docs, threshold=0.5)
+
+
+def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints: distance-0 duplicate groups (rows-only
+    gate; bit-level properties asserted in pytest)."""
+    from rsgislib_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash_dup_groups(docs).select("simhash", "n_docs")
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-invariant document fingerprint (md5 of sorted distinct
+    tokens) — catches token-shuffled duplicates."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", T.fingerprint("text").alias("fp"))
+
+
+def q_doc_fingerprint_sql() -> str:
+    return ("SELECT doc_id, md5(array_to_string(list_sort(list_distinct("
+            "string_split(text, ' '))), ' ')) AS fp FROM documents")
+
+
+def q_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing: opaque blob -> typed
+    metadata (size + digest) at scan speed; the dedup/lineage key for
+    media corpora."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    blob = F.encode("text", "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.length(blob).alias("n_bytes"),
+        F.md5(blob).alias("digest"),
+    )
+
+
+def q_blob_meta_sql() -> str:
+    return ("SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
+            "md5(text) AS digest FROM documents")
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the embeddings table — the exact
+    ANN baseline (queries = vec_id < 32, k = 3)."""
+    from rsgislib_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.cosine_topk(emb.where("vec_id < 32"), emb, k=3)
+
+
+def q_cosine_topk_sql() -> str:
+    return """
+WITH scored AS (
+  SELECT q.vec_id AS q, c.vec_id AS c,
+         SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE))
+         / (SQRT(SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE)))
+            * SQRT(SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE))))
+         AS score
+  FROM embeddings q, embeddings c, generate_series(1, 64) i(i)
+  WHERE q.vec_id < 32 AND q.vec_id != c.vec_id
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT q, c, score,
+         ROW_NUMBER() OVER (PARTITION BY q ORDER BY score DESC, c ASC) AS rank
+  FROM scored)
+SELECT q, c, ROUND(score, 6) AS score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k (single probe; rows-only gate —
+    recall vs the brute-force baseline is asserted in pytest)."""
+    from rsgislib_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.ivf_topk(emb.where("vec_id < 32"), emb, k=3)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -294,6 +853,39 @@ _REGISTRY: dict[str, tuple] = {
     "radius_count": (q_radius_count, q_radius_count_sql),
     "text_stats": (q_text_stats, q_text_stats_sql),
     "dedup_exact": (q_dedup_exact, q_dedup_exact_sql),
+    # relational / attribute ops
+    "vector_maths": (q_vector_maths, q_vector_maths_sql),
+    "subset_by_attribute": (q_subset_by_attribute, q_subset_by_attribute_sql),
+    "drop_by_attribute": (q_drop_by_attribute, q_drop_by_attribute_sql),
+    "unq_numeric_col": (q_unq_numeric_col, q_unq_numeric_col_sql),
+    "range_lut": (q_range_lut, q_range_lut_sql),
+    "range_lut_join": (q_range_lut_join, q_range_lut_join_sql),
+    "rm_duplicates": (q_rm_duplicates, q_rm_duplicates_sql),
+    "merge_tables": (q_merge_tables, q_merge_tables_sql),
+    "count_per_value": (q_count_per_value, q_count_per_value_sql),
+    "sample": (q_sample, q_sample_sql),
+    "topk_sort": (q_topk_sort, q_topk_sort_sql),
+    "create_name_col": (q_create_name_col, q_create_name_col_sql),
+    "rollup_agg": (q_rollup_agg, q_rollup_agg_sql),
+    "cat_proportions": (q_cat_proportions, q_cat_proportions_sql),
+    "event_deltas": (q_event_deltas, q_event_deltas_sql),
+    "bbox_select": (q_bbox_select, q_bbox_select_sql),
+    "knn_kring": (q_knn_kring, q_knn_nearest_site_sql),
+    # raster ops
+    "rasterize": (q_rasterize, q_rasterize_sql),
+    "point_extract": (q_point_extract, q_point_extract_sql),
+    "focal_mean": (q_focal_mean, q_focal_mean_sql),
+    "mosaic": (q_mosaic, q_mosaic_sql),
+    "grid_histogram": (q_grid_histogram, q_grid_histogram_sql),
+    "band_percentile": (q_band_percentile, q_band_percentile_sql),
+    # webtext / training-data ops
+    "ngram_jaccard": (q_ngram_jaccard, q_ngram_jaccard_sql),
+    "minhash_lsh": (q_minhash_lsh, None),
+    "simhash_groups": (q_simhash_groups, None),
+    "doc_fingerprint": (q_doc_fingerprint, q_doc_fingerprint_sql),
+    "blob_meta": (q_blob_meta, q_blob_meta_sql),
+    "cosine_topk": (q_cosine_topk, q_cosine_topk_sql),
+    "ivf_topk": (q_ivf_topk, None),
 }
 
 

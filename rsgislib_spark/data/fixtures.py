@@ -144,6 +144,24 @@ def grid_df(spark, bands=(1,)):
     return out
 
 
+# Small polygons inside the grid extent (lon [-1,-0.872], lat
+# [51.872,52]) for rasterization tests — the 6-polygon zonal fixture
+# shape at raster scale (reference fixture:
+# data/zonalstats/sen2_20210527_aber_polygons.geojson). gp3 overlaps
+# gp1 to exercise the burn-order rule (highest id wins).
+GRID_POLYGONS = [
+    dict(poly_id=1, name="gp_rect",
+         rings=[[(-0.98, 51.95), (-0.95, 51.95), (-0.95, 51.98),
+                 (-0.98, 51.98), (-0.98, 51.95)]]),
+    dict(poly_id=2, name="gp_tri",
+         rings=[[(-0.94, 51.90), (-0.90, 51.90), (-0.92, 51.94),
+                 (-0.94, 51.90)]]),
+    dict(poly_id=3, name="gp_overlap",
+         rings=[[(-0.96, 51.96), (-0.93, 51.96), (-0.93, 51.99),
+                 (-0.96, 51.99), (-0.96, 51.96)]]),
+]
+
+
 def grid_value_np(x: np.ndarray, y: np.ndarray, band: int) -> np.ndarray:
     """Numpy mirror of GRID_VALUE_SQL."""
     nod = ((np.floor(x / 16.0).astype(np.int64)

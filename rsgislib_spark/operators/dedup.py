@@ -24,9 +24,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-# Mersenne prime modulus + splitmix-ish odd multipliers for the
-# universal hash family h_i(x) = (a_i * x + b_i) mod p
-_P = (1 << 61) - 1
+# Mersenne prime modulus + random multipliers for the universal hash
+# family h_i(x) = (a_i * x + b_i) mod p. p = 2^31 - 1 keeps every
+# intermediate product under 2^62 — no int64 overflow under Spark 4's
+# ANSI arithmetic.
+_P = (1 << 31) - 1
 
 
 def _perm_params(n_perm: int, seed: int = 42):
@@ -42,12 +44,13 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     """Word n-gram shingle table (doc_id, shingle) — distinct per doc."""
     toks = F.split(F.col(text_col), " ")
     grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
     return (
-        df.select(F.col(id_col).alias("doc_id"),
-                  F.explode(F.array_distinct(grams)).alias("shingle"))
+        df.where(F.size(toks) >= n)
+        .select(F.col(id_col).alias("doc_id"),
+                F.explode(F.array_distinct(grams)).alias("shingle"))
         .where(F.length("shingle") > 0)
     )
 
@@ -108,7 +111,7 @@ def minhash_signatures(df: DataFrame, n_perm: int = 32,
     One pass: shingle -> xxhash64 -> per-permutation affine hash ->
     min aggregate. All JVM-side (no UDF)."""
     sh = shingles(df, id_col, text_col, n).withColumn(
-        "hv", F.abs(F.xxhash64("shingle")) % F.lit(_P))
+        "hv", F.pmod(F.xxhash64("shingle"), F.lit(_P)))
     aggs = [
         F.min((F.col("hv") * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"m{i}")
         for i, (a, b) in enumerate(_perm_params(n_perm, seed))

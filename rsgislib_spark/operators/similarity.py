@@ -145,28 +145,49 @@ def ivf_assign(df: DataFrame, n_centroids: int = 16, dim: int = 64,
     cents = rng.standard_normal((n_centroids, dim))
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    best_id, best_score = None, None
-    for i in range(n_centroids):
-        c = F.array(*[F.lit(float(x)) for x in cents[i]])
-        s = _dot(v, c)
-        if best_id is None:
-            best_id, best_score = F.lit(i), s
-        else:
-            cond = s > best_score
-            best_id = F.when(cond, F.lit(i)).otherwise(best_id)
-            best_score = F.when(cond, s).otherwise(best_score)
-    return df.withColumn("ivf_cell", best_id)
+    # argmax via an array of scores — a when/otherwise chain would
+    # duplicate the running best per level (exponential plan tree)
+    scores = F.array(*[
+        _dot(v, F.array(*[F.lit(float(x)) for x in cents[i]]))
+        for i in range(n_centroids)
+    ])
+    best = F.array_position(scores, F.array_max(scores)) - 1  # first max wins
+    return df.withColumn("ivf_cell", best.cast("int"))
+
+
+def ivf_probe_cells(df: DataFrame, n_probe: int, n_centroids: int = 16,
+                    dim: int = 64, vec_col: str = "embedding",
+                    seed: int = 7) -> DataFrame:
+    """Top-``n_probe`` nearest centroids per vector (multi-probe IVF —
+    the standard recall lever). Adds exploded ``ivf_cell``."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((n_centroids, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scored = F.array(*[
+        F.struct(
+            (-_dot(v, F.array(*[F.lit(float(x)) for x in cents[i]]))).alias("neg"),
+            F.lit(i).alias("cell"))
+        for i in range(n_centroids)
+    ])
+    top = F.slice(F.array_sort(scored), 1, n_probe)
+    return df.withColumn(
+        "ivf_cell", F.explode(F.transform(top, lambda s: s["cell"])))
 
 
 def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
              n_centroids: int = 16, dim: int = 64,
              q_id: str = "vec_id", c_id: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
-    """ANN top-k probing only the query's IVF cell (single-probe;
-    recall < 1 by design, measured against cosine_topk in tests)."""
+             vec_col: str = "embedding", n_probe: int = 4) -> DataFrame:
+    """ANN top-k probing the query's ``n_probe`` nearest IVF cells
+    (recall < 1 by design, measured against cosine_topk in tests).
+    Corpus vectors live in exactly one cell; only the small query
+    side fans out n_probe-fold."""
     from pyspark.sql import Window
 
-    q = ivf_assign(queries, n_centroids, dim, q_id, vec_col).select(
+    q = ivf_probe_cells(queries, n_probe, n_centroids, dim, vec_col).select(
         F.col(q_id).alias("q"), F.col(vec_col).alias("qv"), "ivf_cell")
     c = ivf_assign(corpus, n_centroids, dim, c_id, vec_col).select(
         F.col(c_id).alias("c"), F.col(vec_col).alias("cv"), "ivf_cell")

@@ -1,0 +1,88 @@
+"""Checkpoint manifests (resume semantics) + tiling/salting."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rsgislib_spark.cells import quadcell
+from rsgislib_spark.data import pages
+from rsgislib_spark.functions.geoparse import geoparse
+from rsgislib_spark.operators import tiling
+from rsgislib_spark.plans import checkpoint
+
+
+@pytest.fixture(scope="module")
+def assigned(spark):
+    df = tiling.assign_tiles(
+        geoparse(pages.pages_df(spark, 2000)).where("lon IS NOT NULL"))
+    df.persist(); df.count()
+    return df
+
+
+def test_assign_tiles_columns(assigned):
+    for r in (5, 6, 7, 8, 9):
+        assert f"cell_r{r}" in assigned.columns
+    assert "s2_cell" in assigned.columns
+
+
+def test_tile_name_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(quadcell.pack(5, 3, 7),)], "cell BIGINT"
+    ).select(tiling.tile_name("cell").alias("name"))
+    assert df.collect()[0].name == "r5x3y7"
+
+
+def test_salt_splits_hot_cells(assigned):
+    salted = tiling.salt_hot_cells(assigned, "cell_r5", threshold_rows=100,
+                                   salt_buckets=8)
+    per_key = salted.groupBy("cell_salted").count()
+    hot = tiling.hot_cells(assigned, "cell_r5", 100).collect()
+    assert len(hot) >= 1  # skew fixture guarantees hot cells
+    # hot cells spread across >1 salted key; max salted-key size shrinks
+    max_before = max(r.n_rows for r in hot)
+    max_after = per_key.agg(F.max("count")).collect()[0][0]
+    assert max_after < max_before
+
+
+def test_halo_explode_contains_neighbours(spark):
+    df = spark.createDataFrame([(quadcell.pack(5, 10, 10),)], "cell BIGINT")
+    out = tiling.halo_explode(df, "cell", res=5, k=1).collect()
+    tiles = {r.tile_cell for r in out}
+    assert quadcell.pack(5, 10, 10) in tiles
+    assert quadcell.pack(5, 9, 10) in tiles and quadcell.pack(5, 11, 11) in tiles
+    assert len(tiles) == 9
+    assert all(r.home_cell == quadcell.pack(5, 10, 10) for r in out)
+
+
+def test_checkpointed_write_resume(spark, assigned, tmp_path):
+    path = str(tmp_path / "tiles")
+    df = assigned.select("url", "lon", "lat", "cell_r5")
+    r1 = checkpoint.checkpointed_write(df, path, "cell_r5")
+    assert r1["written"] > 0 and r1["skipped"] == 0
+
+    # identical rerun: everything skipped, nothing recomputed
+    r2 = checkpoint.checkpointed_write(df, path, "cell_r5")
+    assert r2["written"] == 0
+    assert r2["skipped"] == r1["written"]
+
+    # the data on disk is complete and readable
+    back = spark.read.parquet(path)
+    assert back.count() == df.count()
+
+    # changed lineage (different plan) -> full recompute
+    df2 = df.withColumn("lon", F.col("lon") + 0.0)
+    r3 = checkpoint.checkpointed_write(df2, path, "cell_r5")
+    assert r3["written"] == r1["written"]
+    assert r3["lineage"] != r1["lineage"]
+    assert spark.read.parquet(path).count() == df.count()  # idempotent overwrite
+
+
+def test_manifest_contents(spark, assigned, tmp_path):
+    path = str(tmp_path / "tiles2")
+    df = assigned.select("url", "cell_r5")
+    r = checkpoint.checkpointed_write(df, path, "cell_r5")
+    mf = checkpoint.read_manifest(path)
+    assert len(mf) == r["written"]
+    assert sum(e["rows"] for e in mf.values()) == df.count()
+    assert os.path.exists(os.path.join(path, checkpoint.MANIFEST_NAME))

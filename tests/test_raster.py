@@ -1,0 +1,113 @@
+"""Raster operators vs numpy oracles (reference semantics:
+pixel-center burn, floor point lookup, focal windows)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rsgislib_spark.data import fixtures
+from rsgislib_spark.geometry import predicates
+from rsgislib_spark.operators import raster
+
+OX, OY, RES = fixtures.GRID_ORIGIN_X, fixtures.GRID_ORIGIN_Y, fixtures.GRID_RES
+
+
+@pytest.fixture(scope="module")
+def grid(spark):
+    g = fixtures.grid_df(spark, bands=(1,))
+    g.persist(); g.count()
+    return g
+
+
+@pytest.fixture(scope="module")
+def value_mat():
+    xs, ys = np.meshgrid(np.arange(128), np.arange(128), indexing="xy")
+    return fixtures.grid_value_np(xs, ys, 1)  # [y, x] indexed via ys rows
+
+
+def test_grid_values_match_numpy(grid):
+    rows = grid.collect()
+    for r in rows[:500]:
+        assert r.value == fixtures.grid_value_np(
+            np.array([r.x]), np.array([r.y]), 1)[0]
+
+
+def test_rasterize_pixel_center_rule(spark, grid):
+    got = {(r.x, r.y): r.burn for r in raster.rasterize_polygons(
+        grid, fixtures.GRID_POLYGONS, OX, OY, RES).collect()}
+    xs = np.arange(128)
+    lon = OX + (xs + 0.5) * RES
+    for p in fixtures.GRID_POLYGONS:
+        rings = [np.asarray(r, dtype=np.float64) for r in p["rings"]]
+        for y in range(0, 128, 7):
+            lat = OY - (y + 0.5) * RES
+            inside = predicates.point_in_rings(lon, np.full(128, lat), rings)
+            for x in np.nonzero(inside)[0]:
+                assert (int(x), y) in got
+                assert got[(int(x), y)] >= p["poly_id"]  # higher id may win
+
+
+def test_point_extract_sentinels(spark, grid):
+    pts = spark.createDataFrame(
+        [(1, OX + 0.0205, OY - 0.0105),   # in image -> px=20, py=10 (data block)
+         (2, OX - 0.5, OY - 0.01),        # west of image -> sentinel
+         (3, OX + 0.02, OY - 0.2),        # south of image -> sentinel
+         (4, OX + 0.0005, OY - 0.0005)],  # pixel (0,0): nodata block -> sentinel
+        "pt_id BIGINT, lon DOUBLE, lat DOUBLE")
+    out = {r.pt_id: r.pix_val for r in raster.extract_point_values(
+        pts, grid, OX, OY, RES, band=1, out_no_data=-9999.0,
+        no_data_val=fixtures.GRID_NODATA).collect()}
+    want_in = fixtures.grid_value_np(np.array([20]), np.array([10]), 1)[0]
+    assert out[1] == want_in
+    assert out[2] == -9999.0 and out[3] == -9999.0
+    assert out[4] == -9999.0  # (0,0) block is nodata ((0+0)%7==0)
+
+
+def test_focal_mean_matches_numpy(spark, grid, value_mat):
+    got = {(r.x, r.y): r.focal for r in
+           raster.focal_filter(grid, "mean", k=3, tile=64).collect()}
+    V = value_mat
+    assert len(got) == 128 * 128
+    for (x, y) in [(0, 0), (5, 5), (63, 63), (64, 64), (64, 10), (127, 127),
+                   (70, 70), (0, 127), (63, 0), (65, 127)]:
+        win = V[max(y - 1, 0):y + 2, max(x - 1, 0):x + 2]
+        assert got[(x, y)] == pytest.approx(win.mean(), abs=1e-12), (x, y)
+
+
+def test_focal_other_stats(spark, grid, value_mat):
+    for stat, fn in [("min", np.min), ("max", np.max), ("median", np.median)]:
+        got = {(r.x, r.y): r.focal for r in
+               raster.focal_filter(grid, stat, k=3, tile=64).collect()}
+        V = value_mat
+        for (x, y) in [(10, 10), (64, 64), (127, 0)]:
+            win = V[max(y - 1, 0):y + 2, max(x - 1, 0):x + 2]
+            assert got[(x, y)] == pytest.approx(float(fn(win)), abs=1e-12)
+
+
+def test_mosaic_rules(spark, grid):
+    t1 = grid.where("x < 68").withColumn("tile_id", F.lit("A"))
+    t2 = (grid.where("x >= 60").withColumn("value", F.col("value") + 5.0)
+          .withColumn("tile_id", F.lit("B")))
+    tiles = t1.unionByName(t2)
+    got_max = {(r.x, r.y): r.value for r in raster.mosaic(tiles, "max").collect()}
+    got_first = {(r.x, r.y): r.value
+                 for r in raster.mosaic(tiles, "first").collect()}
+    base = {(r.x, r.y): r.value for r in grid.collect()}
+    for (x, y), v in list(base.items())[::37]:
+        if x < 60:
+            assert got_max[(x, y)] == v and got_first[(x, y)] == v
+        elif x < 68:
+            assert got_max[(x, y)] == v + 5.0
+            assert got_first[(x, y)] == v  # tile A sorts first
+        else:
+            assert got_max[(x, y)] == v + 5.0
+
+
+def test_histogram_counts_sum(spark, grid):
+    h = raster.histogram(grid, band=1, lo=-100.0, hi=1000.0, n_bins=11)
+    assert h.agg(F.sum("n")).collect()[0][0] == 128 * 128
+
+
+def test_band_percentile_exact(spark, grid, value_mat):
+    got = raster.band_percentile(grid, 1, 0.5).collect()[0].pct_val
+    assert got == pytest.approx(np.percentile(value_mat, 50), abs=1e-9)

@@ -1,0 +1,82 @@
+"""Similarity search vs numpy brute force."""
+
+import numpy as np
+import pytest
+
+from rsgislib_spark.operators import similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df.persist(); df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def brute(emb):
+    rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows])
+    M = np.array([r.embedding for r in rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    return ids, S
+
+
+def test_cosine_topk_matches_numpy(spark, emb, brute):
+    ids, S = brute
+    got = {}
+    for r in similarity.cosine_topk(emb.where("vec_id < 16"), emb, k=3).collect():
+        got.setdefault(r.q, []).append((r.rank, r.c, r.score))
+    for q in range(16):
+        s = S[q].copy()
+        s[q] = -np.inf
+        top = np.argsort(-s, kind="stable")[:3]
+        want = [(rk + 1, int(ids[i]), round(float(S[q, i]), 6))
+                for rk, i in enumerate(top)]
+        assert sorted(got[q]) == want, q
+
+
+def test_ivf_topk_recall(spark, emb):
+    exact = {(r.q, r.c) for r in
+             similarity.cosine_topk(emb.where("vec_id < 32"), emb, k=3).collect()}
+
+    def recall(n_probe):
+        approx = {(r.q, r.c) for r in similarity.ivf_topk(
+            emb.where("vec_id < 32"), emb, k=3, n_probe=n_probe).collect()}
+        assert len({q for q, _ in approx}) == 32  # k results per query
+        return len(approx & exact) / len(exact)
+
+    r4, r8, r16 = recall(4), recall(8), recall(16)
+    # recall is the probe knob: grows with n_probe, exact at full probe
+    assert r4 >= 0.3, r4
+    assert r8 >= r4
+    assert r16 == 1.0, r16
+
+
+def test_lsh_neardup_precision(spark, emb, brute):
+    ids, S = brute
+    got = similarity.lsh_neardup_pairs(emb, threshold=0.3).collect()
+    for r in got:
+        ia = np.where(ids == r.a)[0][0]
+        ib = np.where(ids == r.b)[0][0]
+        assert S[ia, ib] >= 0.3 - 1e-9  # precision 1
+
+
+def test_cosine_neardup_bruteforce(spark, emb, brute):
+    ids, S = brute
+    got = {(r.a, r.b) for r in
+           similarity.cosine_neardup_pairs(emb, threshold=0.4).collect()}
+    iu = np.triu_indices(len(ids), k=1)
+    want = {(int(ids[i]), int(ids[j]))
+            for i, j in zip(*iu) if S[i, j] >= 0.4}
+    assert got == want
+
+
+def test_unit_vec_norms(spark, emb):
+    out = similarity.with_unit_vec(emb).selectExpr(
+        "aggregate(unit, 0.0D, (a, x) -> a + x * x) AS n2").collect()
+    for r in out:
+        assert abs(r.n2 - 1.0) < 1e-9
