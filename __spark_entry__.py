@@ -724,6 +724,52 @@ def q_band_percentile_sql() -> str:
             "FROM grid")
 
 
+def q_dist_to_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """calc_dist_to_img_vals (imagecalc/__init__.py:145): per-pixel
+    distance to the nearest target-value pixel, capped at max_dist."""
+    from rsgislib_spark.operators import raster
+
+    grid = fixtures.grid_df(spark, bands=(1,))
+    return raster.distance_to_value(grid, target_value=1.0, max_dist=50.0)
+
+
+def q_dist_to_value_sql() -> str:
+    return f"""
+WITH grid AS ({fixtures.GRID_DUCKDB_SQL}),
+targets AS (SELECT x AS txx, y AS tyy FROM grid
+            WHERE value = CAST(1 AS DOUBLE)),
+d AS (SELECT g.x, g.y,
+             MIN((CAST(g.x AS DOUBLE) - CAST(txx AS DOUBLE))
+                 * (CAST(g.x AS DOUBLE) - CAST(txx AS DOUBLE))
+                 + (CAST(g.y AS DOUBLE) - CAST(tyy AS DOUBLE))
+                 * (CAST(g.y AS DOUBLE) - CAST(tyy AS DOUBLE))) AS d2
+      FROM grid g CROSS JOIN targets GROUP BY g.x, g.y)
+SELECT x, y, LEAST(SQRT(d2), CAST(50 AS DOUBLE)) AS dist FROM d
+"""
+
+
+def q_reproject_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reproj_vector_layer (vectorutils/__init__.py:804): EPSG:4326 ->
+    EPSG:3857 spherical-mercator forward transform as shared SQL."""
+    from rsgislib_spark.functions import crs
+
+    xs, ys = crs.mercator_sql("lon", "lat")
+    # ROUND(, 2): TAN/LN differ by ulps between JVM and libm; cm
+    # precision is 7 orders above the ~5e-9 m cross-engine error
+    return _points(spark, sf_dir).where(
+        "lat > CAST(-85 AS DOUBLE) AND lat < CAST(85 AS DOUBLE)"
+    ).selectExpr("pt_id", f"ROUND({xs}, 2) AS merc_x", f"ROUND({ys}, 2) AS merc_y")
+
+
+def q_reproject_mercator_sql() -> str:
+    from rsgislib_spark.functions import crs
+
+    xs, ys = crs.mercator_sql("lon", "lat")
+    return (f"WITH pts AS ({PTS_SQL}) SELECT pt_id, ROUND({xs}, 2) AS merc_x, "
+            f"ROUND({ys}, 2) AS merc_y FROM pts "
+            "WHERE lat > CAST(-85 AS DOUBLE) AND lat < CAST(85 AS DOUBLE)")
+
+
 # ------------------------------------------------------------------ webtext ops
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -878,6 +924,8 @@ _REGISTRY: dict[str, tuple] = {
     "mosaic": (q_mosaic, q_mosaic_sql),
     "grid_histogram": (q_grid_histogram, q_grid_histogram_sql),
     "band_percentile": (q_band_percentile, q_band_percentile_sql),
+    "dist_to_value": (q_dist_to_value, q_dist_to_value_sql),
+    "reproject_mercator": (q_reproject_mercator, q_reproject_mercator_sql),
     # webtext / training-data ops
     "ngram_jaccard": (q_ngram_jaccard, q_ngram_jaccard_sql),
     "minhash_lsh": (q_minhash_lsh, None),

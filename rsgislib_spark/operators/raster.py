@@ -184,6 +184,46 @@ def focal_filter(grid: DataFrame, stat: str = "mean", k: int = 3,
         _focal, schema="x BIGINT, y BIGINT, focal DOUBLE")
 
 
+def distance_to_value(grid: DataFrame, target_value: float, band: int = 1,
+                      max_dist: float | None = None) -> DataFrame:
+    """calc_dist_to_img_vals (imagecalc/__init__.py:145-245,
+    gdal.ComputeProximity): per pixel, distance (pixel units) to the
+    nearest pixel holding ``target_value``; optionally capped at
+    max_dist like the reference's max_dist parameter (its tiled
+    variant's overlap = ceil(max_dist/res)+10 is exactly the halo this
+    plan avoids needing: the target set is collected + broadcast —
+    targets are sparse by construction; a dense-target distance
+    transform would go through halo'd tiles like focal_filter).
+    """
+    targets = (
+        grid.where((F.col("band") == band) & (F.col("value") == target_value))
+        .select("x", "y").collect()
+    )
+    tx = np.array([r.x for r in targets], dtype=np.float64)
+    ty = np.array([r.y for r in targets], dtype=np.float64)
+    cap = max_dist
+
+    def _dist(batches):
+        for pdf in batches:
+            px = pdf["x"].to_numpy(dtype=np.float64)
+            py = pdf["y"].to_numpy(dtype=np.float64)
+            if len(tx) == 0:
+                d = np.full(len(pdf), np.inf)
+            else:
+                dx = px[:, None] - tx[None, :]
+                dy = py[:, None] - ty[None, :]
+                d = np.sqrt(np.min(dx * dx + dy * dy, axis=1))
+            if cap is not None:
+                d = np.minimum(d, cap)
+            out = pd.DataFrame({"x": pdf["x"], "y": pdf["y"], "dist": d})
+            yield out
+
+    return (
+        grid.where(F.col("band") == band).select("x", "y")
+        .mapInPandas(_dist, schema="x BIGINT, y BIGINT, dist DOUBLE")
+    )
+
+
 def mosaic(tiles: DataFrame, how: str = "max",
            skip_val: float | None = None) -> DataFrame:
     """Merge overlapping tile pixel rows into one raster

