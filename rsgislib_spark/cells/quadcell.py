@@ -59,8 +59,14 @@ def cell_sql(lon: str, lat: str, res: int) -> str:
     return _CELL_SQL.format(lon=lon, lat=lat, res=res, n=float(1 << res))
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=256)
 def cell_col(lon: str, lat: str, res: int) -> Column:
-    """Spark Column for the cell id — F.expr of the shared template."""
+    """Spark Column for the cell id — F.expr of the shared template.
+    Cached: expression parsing is driver-side serial work, and the
+    same (lon, lat, res) column is requested on every query."""
     return F.expr(cell_sql(lon, lat, res))
 
 

@@ -81,7 +81,13 @@ def cell_sql(lon: str, lat: str, res: int) -> str:
     )
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
 def cell_col(lon: str, lat: str, res: int) -> Column:
+    """Cached — the S2 template is a large tree; parse it once per
+    (lon, lat, res) per process."""
     return F.expr(cell_sql(lon, lat, res))
 
 

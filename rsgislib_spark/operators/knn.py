@@ -104,7 +104,7 @@ def knn_kring(points: DataFrame, sites: DataFrame, res: int = 4,
     sts = sites.withColumn("scell", quadcell.cell_col(site_lon, site_lat, res))
 
     resolved = None
-    remaining = pts
+    remaining = pts.persist()
     r = 1
     rounds = 0
     while rounds < max_rings:
@@ -135,8 +135,14 @@ def knn_kring(points: DataFrame, sites: DataFrame, res: int = 4,
         final = best.where(F.col("nn_dist_sq") <= F.lit(guarantee))
         resolved = final if resolved is None else resolved.unionByName(final)
         matched_keys = final.select(*points.columns)
-        remaining = remaining.join(matched_keys, points.columns, "left_anti")
-        if remaining.isEmpty():
+        # persist each round's remainder: the anti-join chain would
+        # otherwise re-execute all previous rounds every iteration
+        # (iterative-algorithm lineage growth)
+        prev = remaining
+        remaining = remaining.join(matched_keys, points.columns, "left_anti").persist()
+        n_remaining = remaining.count()
+        prev.unpersist()
+        if n_remaining == 0:
             break
         r *= 2
         rounds += 1
