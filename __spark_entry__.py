@@ -770,6 +770,97 @@ def q_reproject_mercator_sql() -> str:
             "WHERE lat > CAST(-85 AS DOUBLE) AND lat < CAST(85 AS DOUBLE)")
 
 
+def q_attr_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """apply_rat_knn (rastergis.cpp:2096): attribute-space kNN, k=3
+    euclidean, mean summary, over derived features (train = 64 sites
+    with integer targets; continuous features -> no distance ties)."""
+    from rsgislib_spark.operators import attr_knn
+
+    train = derived.sites_df(spark).selectExpr(
+        "site_lon AS f1", "site_lat AS f2",
+        "CAST(site_id % 50 AS DOUBLE) AS target")
+    apply_df = derived.points_df(spark, sf_dir, table="customer",
+                                 key="c_custkey").selectExpr(
+        "pt_id", "lon AS f1", "lat AS f2")
+    out = attr_knn.apply_knn(apply_df, train, ["f1", "f2"], "target",
+                             k=3, metric="euclidean", summarise="mean")
+    return out.select("pt_id", "knn_pred")
+
+
+def q_attr_knn_sql() -> str:
+    pts = derived.points_select_sql("customer", "c_custkey")
+    return f"""
+WITH apply_pts AS (SELECT pt_id, lon AS f1, lat AS f2 FROM ({pts}) p),
+train AS (SELECT CAST(i AS BIGINT) AS tid,
+                 {derived.SITE_LON_SQL.format(sid='i')} AS f1,
+                 {derived.SITE_LAT_SQL.format(sid='i')} AS f2,
+                 CAST(i % 50 AS DOUBLE) AS target
+          FROM generate_series(0, {derived.N_SITES - 1}) t(i)),
+scored AS (
+  SELECT a.pt_id, t.target,
+         ROW_NUMBER() OVER (PARTITION BY a.pt_id
+           ORDER BY SQRT((a.f1 - t.f1) * (a.f1 - t.f1)
+                         + (a.f2 - t.f2) * (a.f2 - t.f2)) ASC, t.tid ASC) AS rn
+  FROM apply_pts a CROSS JOIN train t)
+SELECT pt_id, SUM(target) / COUNT(target) AS knn_pred
+FROM scored WHERE rn <= 3 GROUP BY pt_id
+"""
+
+
+def q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """timeseries model fitting (timeseries/modelfitting.py:269):
+    per-user OLS trend of event value over event order. Rounded to 6
+    decimals — the two-pass sums are order-dependent across engines."""
+    from pyspark.sql import Window
+
+    from rsgislib_spark.operators import timeseries
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    obs = ev.select(
+        "user_id",
+        (F.row_number().over(w)).cast("double").alias("t"),
+        F.col("value").alias("v"),
+    )
+    out = timeseries.fit_linear_trend(obs, ["user_id"], "t", "v")
+    return out.select(
+        "user_id", F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"), "n_obs")
+
+
+def q_trend_fit_sql() -> str:
+    return """
+WITH obs AS (
+  SELECT user_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+              AS DOUBLE) AS t,
+         value AS v
+  FROM events),
+m AS (SELECT user_id, SUM(t) / COUNT(t) AS tm, SUM(v) / COUNT(v) AS vm,
+             COUNT(*) AS n FROM obs GROUP BY 1),
+fit AS (
+  SELECT obs.user_id,
+         SUM((t - tm) * (v - vm)) / SUM((t - tm) * (t - tm)) AS slope,
+         ANY_VALUE(vm) AS vm, ANY_VALUE(tm) AS tm, ANY_VALUE(n) AS n
+  FROM obs JOIN m ON obs.user_id = m.user_id GROUP BY obs.user_id)
+SELECT user_id, ROUND(slope, 6) AS slope,
+       ROUND(vm - slope * tm, 6) AS intercept, n AS n_obs FROM fit
+"""
+
+
+def q_clump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clump (segmentation.cpp:685) + tiled border merge
+    (tiledclump.py:133): distributed 4-connected components (rows-only
+    gate; BFS-oracle + tiling-invariance asserted in pytest)."""
+    from rsgislib_spark.operators import clump as clump_ops
+
+    grid = fixtures.grid_df(spark, bands=(1,)).withColumn(
+        "value",
+        F.expr("CAST(CAST(FLOOR(CAST(x AS DOUBLE) / CAST(16 AS DOUBLE)) AS BIGINT)"
+               " % 2 AS DOUBLE)"))
+    return clump_ops.clump(grid, tile=64)
+
+
 # ------------------------------------------------------------------ webtext ops
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -926,6 +1017,9 @@ _REGISTRY: dict[str, tuple] = {
     "band_percentile": (q_band_percentile, q_band_percentile_sql),
     "dist_to_value": (q_dist_to_value, q_dist_to_value_sql),
     "reproject_mercator": (q_reproject_mercator, q_reproject_mercator_sql),
+    "attr_knn": (q_attr_knn, q_attr_knn_sql),
+    "trend_fit": (q_trend_fit, q_trend_fit_sql),
+    "clump": (q_clump, None),
     # webtext / training-data ops
     "ngram_jaccard": (q_ngram_jaccard, q_ngram_jaccard_sql),
     "minhash_lsh": (q_minhash_lsh, None),

@@ -1,0 +1,175 @@
+"""Distributed connected-component labelling (clump).
+
+Reference: ``clump`` (python/src/segmentation.cpp:685 — connected
+components of an int raster) and its tiled recipe
+(segmentation/tiledclump.py:133-231 perform_clumping_multi_process:
+clump each tile in a Pool, then merge labels across tile borders;
+merge_segmentation_tiles / merge_clump_images,
+python/src/segmentation.cpp:735-757).
+
+Spark plan — the reference's recipe, executor edition:
+
+1. per-tile CC: repartition pixels into T x T tiles, label each tile
+   independently in an Arrow batch (two-pass union-find, numpy).
+   Local labels are GLOBALLY unique and deterministic: the min pixel
+   id (y * 2^32 + x) of the component's members in that tile.
+2. border equivalences: pixels adjacent across a tile edge with equal
+   value emit (label_a, label_b) edges — a self-join of the border
+   strip on shifted coordinates.
+3. label-graph union-find on the collected edges (edges scale with
+   tile perimeter, ~sqrt of pixel count; the reference merges borders
+   single-threaded too). For perimeter sets beyond driver memory the
+   same closure can run as iterative min-label join rounds.
+4. broadcast the root map back onto the pixels.
+
+clump_id is the min pixel id of the whole component — deterministic
+across tilings (asserted in tests: tiled == untiled).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+COORD = 1 << 32  # pixel id = y * COORD + x
+
+
+def _tile_cc(pdf: pd.DataFrame, no_data: float | None) -> pd.DataFrame:
+    xs = pdf["x"].to_numpy(dtype=np.int64)
+    ys = pdf["y"].to_numpy(dtype=np.int64)
+    vs = pdf["value"].to_numpy(dtype=np.float64)
+    x0, y0 = xs.min(), ys.min()
+    W, H = xs.max() - x0 + 1, ys.max() - y0 + 1
+    V = np.full((H, W), np.nan)
+    V[ys - y0, xs - x0] = vs
+
+    parent = np.arange(H * W, dtype=np.int64)
+
+    def find(i):
+        root = i
+        while parent[root] != root:
+            root = parent[root]
+        while parent[i] != root:
+            parent[i], i = root, parent[i]
+        return root
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    valid = ~np.isnan(V)
+    if no_data is not None:
+        valid &= V != no_data
+    # 4-connectivity: union with left and top neighbours of equal value
+    for yy in range(H):
+        for xx in range(W):
+            if not valid[yy, xx]:
+                continue
+            i = yy * W + xx
+            if xx > 0 and valid[yy, xx - 1] and V[yy, xx - 1] == V[yy, xx]:
+                union(i, i - 1)
+            if yy > 0 and valid[yy - 1, xx] and V[yy - 1, xx] == V[yy, xx]:
+                union(i, i - W)
+
+    # local label = min global pixel id in the (tile-local) component
+    lab = np.full(len(pdf), -1, dtype=np.int64)
+    gid = (ys.astype(np.int64)) * COORD + xs
+    roots = np.array([find((y - y0) * W + (x - x0)) for x, y in zip(xs, ys)])
+    order = np.argsort(gid, kind="stable")
+    root_min: dict = {}
+    for i in order:
+        r = roots[i]
+        if r not in root_min:
+            root_min[r] = gid[i]
+    mask = valid[ys - y0, xs - x0]
+    lab[mask] = np.array([root_min[r] for r in roots[mask]], dtype=np.int64)
+    out = pdf.copy()
+    out["clump_id"] = lab
+    return out[out["clump_id"] >= 0]
+
+
+class _UF:
+    def __init__(self):
+        self.p = {}
+
+    def find(self, a):
+        self.p.setdefault(a, a)
+        while self.p[a] != a:
+            self.p[a] = self.p[self.p[a]]
+            a = self.p[a]
+        return a
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.p[max(ra, rb)] = min(ra, rb)
+
+
+def clump(grid: DataFrame, tile: int = 64,
+          no_data: float | None = None) -> DataFrame:
+    """(x, y, value) -> (x, y, value, clump_id): 4-connected equal-
+    value components; no_data pixels are dropped (reference clump
+    skips the no-data value)."""
+    spark = grid.sparkSession
+    px = grid.select("x", "y", "value")
+
+    tiled = px.withColumn("_tx", (F.col("x") / tile).cast("long")) \
+              .withColumn("_ty", (F.col("y") / tile).cast("long"))
+
+    nd = no_data
+
+    def _cc(key, pdf):
+        return _tile_cc(pdf, nd)
+
+    labelled = tiled.groupBy("_tx", "_ty").applyInPandas(
+        _cc, schema="x BIGINT, y BIGINT, value DOUBLE, _tx BIGINT, "
+                    "_ty BIGINT, clump_id BIGINT").drop("_tx", "_ty")
+    labelled = labelled.persist()
+
+    # border equivalence edges: adjacent pixels straddling a tile edge
+    right = (F.col("x") % tile == tile - 1)
+    bottom = (F.col("y") % tile == tile - 1)
+    a = labelled.where(right | bottom).select(
+        "x", "y", F.col("value").alias("va"), F.col("clump_id").alias("la"))
+    b = labelled.select(
+        F.col("x").alias("bx"), F.col("y").alias("by"),
+        F.col("value").alias("vb"), F.col("clump_id").alias("lb"))
+    edges = (
+        a.join(b, ((F.col("bx") == F.col("x") + 1) & (F.col("by") == F.col("y"))
+                   & right)
+               | ((F.col("bx") == F.col("x")) & (F.col("by") == F.col("y") + 1)
+                  & bottom))
+        .where(F.col("va") == F.col("vb"))
+        .select("la", "lb").distinct()
+        .collect()
+    )
+
+    uf = _UF()
+    for e in edges:
+        uf.union(e.la, e.lb)
+    remap = {k: uf.find(k) for k in list(uf.p)}
+    if remap:
+        map_df = F.broadcast(spark.createDataFrame(
+            [(k, v) for k, v in remap.items() if k != v],
+            "clump_id BIGINT, root BIGINT"))
+        out = (
+            labelled.join(map_df, "clump_id", "left")
+            .withColumn("clump_id", F.coalesce("root", "clump_id"))
+            .drop("root")
+        )
+    else:
+        out = labelled
+    return out.select("x", "y", "value", "clump_id")
+
+
+def relabel_dense(clumped: DataFrame) -> DataFrame:
+    """Optional 1..N renumbering (the reference's clump ids are dense
+    RAT row indices) — dense_rank over the stable min-pixel ids."""
+    from pyspark.sql import Window
+
+    ids = clumped.select("clump_id").distinct().withColumn(
+        "clump_seq", F.dense_rank().over(Window.orderBy("clump_id")))
+    return clumped.join(F.broadcast(ids), "clump_id").drop("clump_id") \
+                  .withColumnRenamed("clump_seq", "clump_id")
