@@ -861,6 +861,174 @@ def q_clump(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clump_ops.clump(grid, tile=64)
 
 
+def _grid2_pairs_sql() -> str:
+    """DuckDB CTE body: (x, y, va, vb) for grid bands 1 and 2."""
+    va = fixtures.GRID_VALUE_SQL.format(x="a.i", y="b.i", band="1")
+    vb = fixtures.GRID_VALUE_SQL.format(x="a.i", y="b.i", band="2")
+    return (
+        f"SELECT CAST(a.i AS BIGINT) AS x, CAST(b.i AS BIGINT) AS y, "
+        f"{va} AS va, {vb} AS vb "
+        f"FROM generate_series(0, {fixtures.GRID_W - 1}) a(i), "
+        f"generate_series(0, {fixtures.GRID_H - 1}) b(i)"
+    )
+
+
+def q_img_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """calc_img_correlation (imagecalc/__init__.py:2011): Pearson r
+    between two bands, explicit moment sums (exact on integer-valued
+    pixels)."""
+    from rsgislib_spark.operators import imagestats
+
+    grid = fixtures.grid_df(spark, bands=(1, 2))
+    return imagestats.correlation(imagestats.pair_table(grid, 1, 2))
+
+
+def q_img_correlation_sql() -> str:
+    return f"""
+WITH pairs AS ({_grid2_pairs_sql()})
+SELECT (COUNT(*) * SUM(va * vb) - SUM(va) * SUM(vb))
+       / (SQRT(COUNT(*) * SUM(va * va) - SUM(va) * SUM(va))
+          * SQRT(COUNT(*) * SUM(vb * vb) - SUM(vb) * SUM(vb))) AS corr
+FROM pairs
+"""
+
+
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """calc_img_mutual_info (imagecalc/__init__.py:2113): MI over a
+    16x16 joint histogram (nats, rounded — LN ulps differ across
+    engines)."""
+    from rsgislib_spark.operators import imagestats
+
+    grid = fixtures.grid_df(spark, bands=(1, 2))
+    return imagestats.mutual_information(
+        imagestats.pair_table(grid, 1, 2), n_bins=16, lo=-99.0, hi=1000.0)
+
+
+def q_mutual_info_sql() -> str:
+    w = (1000.0 - -99.0) / 16
+
+    def bucket(c):
+        return (f"LEAST(GREATEST(CAST(FLOOR(({c} - CAST(-99 AS DOUBLE))"
+                f" / CAST({w!r} AS DOUBLE)) AS BIGINT), 0), 15)")
+
+    return f"""
+WITH pairs AS ({_grid2_pairs_sql()}),
+bb AS (SELECT {bucket('va')} AS ba, {bucket('vb')} AS bb FROM pairs),
+n AS (SELECT COUNT(*) AS nt FROM bb),
+joint AS (SELECT ba, bb, COUNT(*) AS nab FROM bb GROUP BY 1, 2),
+ma AS (SELECT ba, COUNT(*) AS na FROM bb GROUP BY 1),
+mb AS (SELECT bb, COUNT(*) AS nb FROM bb GROUP BY 1)
+SELECT ROUND(SUM((nab / CAST(nt AS DOUBLE))
+       * LN((CAST(nab AS DOUBLE) * nt)
+            / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))), 6) AS mi
+FROM joint JOIN ma USING (ba) JOIN mb USING (bb) CROSS JOIN n
+"""
+
+
+def q_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """calc_img_earth_move_dist (imagecalc/__init__.py:2230): 1-D EMD
+    between two band histograms (sum |CDF_a - CDF_b| * binwidth)."""
+    from rsgislib_spark.operators import imagestats
+
+    grid = fixtures.grid_df(spark, bands=(1, 2))
+    return imagestats.emd_1d(
+        imagestats.pair_table(grid, 1, 2), n_bins=16, lo=-99.0, hi=1000.0)
+
+
+def q_emd_sql() -> str:
+    w = (1000.0 - -99.0) / 16
+
+    def bucket(c):
+        return (f"LEAST(GREATEST(CAST(FLOOR(({c} - CAST(-99 AS DOUBLE))"
+                f" / CAST({w!r} AS DOUBLE)) AS BIGINT), 0), 15)")
+
+    return f"""
+WITH pairs AS ({_grid2_pairs_sql()}),
+n AS (SELECT COUNT(*) AS nt FROM pairs),
+ha AS (SELECT {bucket('va')} AS bucket, COUNT(*) AS na FROM pairs GROUP BY 1),
+hb AS (SELECT {bucket('vb')} AS bucket, COUNT(*) AS nb FROM pairs GROUP BY 1),
+h AS (SELECT COALESCE(ha.bucket, hb.bucket) AS bucket,
+             COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+      FROM ha FULL JOIN hb ON ha.bucket = hb.bucket),
+cdf AS (SELECT bucket,
+               SUM(na) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+                 / (SELECT CAST(nt AS DOUBLE) FROM n) AS ca,
+               SUM(nb) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+                 / (SELECT CAST(nt AS DOUBLE) FROM n) AS cb
+        FROM h)
+SELECT ROUND(SUM(ABS(ca - cb) * CAST({w!r} AS DOUBLE)), 6) AS emd FROM cdf
+"""
+
+
+def q_zonal_masked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full calc_zonal_band_stats pipeline on a raster: rasterize
+    polygons (pixel-center burn), join pixels, mask (no-data +
+    min/max thresholds, zonalstats/__init__.py:433-445), aggregate,
+    sentinel-backfill empty zones (:475-497)."""
+    from rsgislib_spark.operators import raster
+
+    grid = fixtures.grid_df(spark, bands=(1,))
+    burn = raster.rasterize_polygons(
+        grid, fixtures.GRID_POLYGONS, fixtures.GRID_ORIGIN_X,
+        fixtures.GRID_ORIGIN_Y, fixtures.GRID_RES)
+    joined = grid.join(burn, ["x", "y"]).select(
+        F.col("burn").alias("poly_id"), "value")
+    zones = spark.createDataFrame(
+        [(p["poly_id"],) for p in fixtures.GRID_POLYGONS], "poly_id BIGINT")
+    out = zonal_ops.zonal_stats(
+        joined, zone_col="poly_id", value_col="value", zones=zones,
+        out_no_data_val=-9999.0, no_data_val=fixtures.GRID_NODATA,
+        min_thres=100.0, max_thres=900.0)
+    return out.select(
+        "poly_id",
+        F.col("min").alias("v_min"), F.col("max").alias("v_max"),
+        F.col("sum").alias("v_sum"), F.col("count").alias("v_cnt"),
+        F.col("median").alias("v_median"), F.col("mode").alias("v_mode"),
+    )
+
+
+def q_zonal_masked_sql() -> str:
+    import numpy as np
+
+    from rsgislib_spark.geometry.predicates import raycast_sql
+    from rsgislib_spark.operators.raster import pixel_center_exprs
+
+    lon, lat = pixel_center_exprs(
+        fixtures.GRID_ORIGIN_X, fixtures.GRID_ORIGIN_Y, fixtures.GRID_RES)
+    whens = []
+    for p in sorted(fixtures.GRID_POLYGONS, key=lambda q: -q["poly_id"]):
+        rings = [np.asarray(r, dtype=np.float64) for r in p["rings"]]
+        whens.append(f"WHEN {raycast_sql(lon, lat, rings)} "
+                     f"THEN CAST({p['poly_id']} AS BIGINT)")
+    burn = "CASE " + " ".join(whens) + " ELSE CAST(-1 AS BIGINT) END"
+    vals = ", ".join(f"({p['poly_id']})" for p in fixtures.GRID_POLYGONS)
+    return f"""
+WITH grid AS ({fixtures.GRID_DUCKDB_SQL}),
+joined AS (SELECT {burn} AS poly_id, value FROM grid WHERE {burn} >= 0),
+masked AS (SELECT poly_id, value FROM joined
+           WHERE value <> CAST(-99 AS DOUBLE)
+             AND value >= CAST(100 AS DOUBLE)
+             AND value <= CAST(900 AS DOUBLE)),
+agg AS (SELECT poly_id, MIN(value) AS v_min, MAX(value) AS v_max,
+               SUM(value) AS v_sum, CAST(COUNT(value) AS DOUBLE) AS v_cnt,
+               CAST(MEDIAN(value) AS DOUBLE) AS v_median
+        FROM masked GROUP BY 1),
+modes AS (SELECT poly_id, value AS v_mode FROM (
+            SELECT poly_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY poly_id
+                     ORDER BY COUNT(*) DESC, value ASC) AS rn
+            FROM masked GROUP BY poly_id, value) t WHERE rn = 1)
+SELECT CAST(v.poly_id AS BIGINT) AS poly_id,
+       COALESCE(v_min, -9999.0) AS v_min, COALESCE(v_max, -9999.0) AS v_max,
+       COALESCE(v_sum, -9999.0) AS v_sum, COALESCE(v_cnt, -9999.0) AS v_cnt,
+       COALESCE(v_median, -9999.0) AS v_median,
+       COALESCE(v_mode, -9999.0) AS v_mode
+FROM (VALUES {vals}) v(poly_id)
+LEFT JOIN agg ON v.poly_id = agg.poly_id
+LEFT JOIN modes ON v.poly_id = modes.poly_id
+"""
+
+
 # ------------------------------------------------------------------ webtext ops
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1020,6 +1188,10 @@ _REGISTRY: dict[str, tuple] = {
     "attr_knn": (q_attr_knn, q_attr_knn_sql),
     "trend_fit": (q_trend_fit, q_trend_fit_sql),
     "clump": (q_clump, None),
+    "img_correlation": (q_img_correlation, q_img_correlation_sql),
+    "mutual_info": (q_mutual_info, q_mutual_info_sql),
+    "emd": (q_emd, q_emd_sql),
+    "zonal_masked": (q_zonal_masked, q_zonal_masked_sql),
     # webtext / training-data ops
     "ngram_jaccard": (q_ngram_jaccard, q_ngram_jaccard_sql),
     "minhash_lsh": (q_minhash_lsh, None),

@@ -144,8 +144,15 @@ def main():
             sys.exit(1)
         open(marker, "w").write("ok")
 
+    # interleave A/B rounds: host CPU steal on this VM is bursty, so
+    # pairing one noisy run of either config would bias the ratio;
+    # per-config best-of-2 full JVM runs (each itself best-of-2 inside)
     r2 = run(2, n_pages, path, pkg_zip)
     r8 = run(8, n_pages, path, pkg_zip)
+    r2b = run(2, n_pages, path, pkg_zip)
+    r8b = run(8, n_pages, path, pkg_zip)
+    r2 = r2 if r2["sec"] <= r2b["sec"] else r2b
+    r8 = r8 if r8["sec"] <= r8b["sec"] else r8b
     raw_eff = (r8["pages_per_sec"] / r2["pages_per_sec"]) / 4.0
     ceiling = cpu_ceiling(8, 32)
     norm_eff = raw_eff / ceiling
