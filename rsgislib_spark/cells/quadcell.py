@@ -206,7 +206,6 @@ def cover_bbox(lon_min: float, lat_min: float, lon_max: float,
     geopd_check_polys_wgs84_bounds_geometry).
     """
     n = 1 << res
-    eps = 1e-12
 
     def _x(lon):
         return min(max(int(np.floor((lon + 180.0) * n / 360.0)), 0), n - 1)
@@ -214,9 +213,12 @@ def cover_bbox(lon_min: float, lat_min: float, lon_max: float,
     def _y(lat):
         return min(max(int(np.floor((lat + 90.0) * n / 180.0)), 0), n - 1)
 
-    y0, y1 = _y(lat_min), _y(lat_max - eps if lat_max > lat_min else lat_max)
+    # bounds are INCLUSIVE: a max exactly on a cell edge covers one
+    # extra row/col — harmless over-coverage (the exact refine drops
+    # it), whereas any under-coverage silently loses join matches
+    y0, y1 = _y(lat_min), _y(lat_max)
     if lon_min <= lon_max:
-        xs = np.arange(_x(lon_min), _x(lon_max - eps if lon_max > lon_min else lon_max) + 1)
+        xs = np.arange(_x(lon_min), _x(lon_max) + 1)
     else:  # crosses the antimeridian: [lon_min,180) U [-180,lon_max]
         xs = np.concatenate([np.arange(_x(lon_min), n), np.arange(0, _x(lon_max) + 1)])
     ys = np.arange(y0, y1 + 1)
