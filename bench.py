@@ -84,6 +84,28 @@ def main() -> None:
         "matched_pairs": head["matched"],
         "cores": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     }
+
+    # attach the latest two-cluster-size scaling evidence (written by
+    # tools/scaling_bench.py into BENCH/BASELINE.md) so every round's
+    # BENCH_r{N}.json carries it
+    baseline = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH", "BASELINE.md")
+    if os.path.exists(baseline):
+        import re
+
+        txt = open(baseline).read()
+        nums = {
+            "raw": re.search(r"Raw scaling efficiency[^:]*: ([0-9.]+)", txt),
+            "ceiling": re.search(r"\*\*([0-9.]+)\*\* — the hypervisor", txt),
+            "vs_ceiling": re.search(r"hardware ceiling:\s*([0-9.]+)", txt),
+        }
+        sc = {k: float(m.group(1)) for k, m in nums.items() if m}
+        r8 = re.search(r"2 executors \(8 cores\)\s*\|\s*([0-9.]+)\s*\|\s*([0-9,.]+)", txt)
+        r32 = re.search(r"8 executors \(32 cores\)\s*\|\s*([0-9.]+)\s*\|\s*([0-9,.]+)", txt)
+        if r8 and r32:
+            sc["pages_per_sec_8c"] = float(r8.group(2).replace(",", ""))
+            sc["pages_per_sec_32c"] = float(r32.group(2).replace(",", ""))
+        out["scaling_2x4_executors"] = sc
     print(json.dumps(out))
 
 

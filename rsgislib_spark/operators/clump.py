@@ -164,6 +164,22 @@ def clump(grid: DataFrame, tile: int = 64,
     return out.select("x", "y", "value", "clump_id")
 
 
+def union_of_clumps(a: DataFrame, b: DataFrame) -> DataFrame:
+    """union_of_clumps (python/src/segmentation.cpp:723): combine two
+    clump labelings preserving ALL boundaries — the label pair
+    (clump_a, clump_b) becomes the new clump id (dense_rank over the
+    pair, SURVEY §2.7)."""
+    from pyspark.sql import Window
+
+    pair = (
+        a.selectExpr("x", "y", "clump_id AS ca")
+        .join(b.selectExpr("x", "y", "clump_id AS cb"), ["x", "y"])
+    )
+    ids = pair.select("ca", "cb").distinct().withColumn(
+        "clump_id", F.dense_rank().over(Window.orderBy("ca", "cb")))
+    return pair.join(F.broadcast(ids), ["ca", "cb"]).select("x", "y", "clump_id")
+
+
 def relabel_dense(clumped: DataFrame) -> DataFrame:
     """Optional 1..N renumbering (the reference's clump ids are dense
     RAT row indices) — dense_rank over the stable min-pixel ids."""

@@ -238,6 +238,45 @@ def mosaic(tiles: DataFrame, how: str = "max",
     return df.groupBy("x", "y", "band").agg(agg.alias("value"))
 
 
+def pixel_stat_across_images(imgs: DataFrame, stat: str = "argmax") -> DataFrame:
+    """Per-pixel statistics ACROSS a stack of images
+    (get_img_idx_for_stat python/src/imagecalc.cpp:2331 — argmin/
+    argmax/median index; calc_imgs_pxl_mode imagecalc/__init__.py:1100).
+
+    imgs: (img_id, x, y, value). Returns per (x, y): the img_id of the
+    max/min value (lowest img_id tie-break) or the mode/median value.
+    One groupBy — map-side combinable."""
+    if stat == "argmax":
+        agg = F.min_by("img_id", F.struct((-F.col("value")).alias("a"),
+                                          F.col("img_id").alias("b"))).alias("img_id")
+    elif stat == "argmin":
+        agg = F.min_by("img_id", F.struct(F.col("value").alias("a"),
+                                          F.col("img_id").alias("b"))).alias("img_id")
+    elif stat == "median":
+        agg = F.expr("CAST(percentile(value, 0.5) AS DOUBLE)").alias("median")
+    elif stat == "mode":
+        # smallest modal value (scipy-mstats rule), via count desc
+        counted = imgs.groupBy("x", "y", "value").agg(F.count("*").alias("_n"))
+        return counted.groupBy("x", "y").agg(
+            F.min_by("value", F.struct((-F.col("_n")).alias("a"),
+                                       F.col("value").alias("b"))).alias("mode"))
+    else:
+        raise ValueError("stat must be argmax/argmin/median/mode")
+    return imgs.groupBy("x", "y").agg(agg)
+
+
+def order_images_by_valid_fraction(imgs: DataFrame,
+                                   no_data: float) -> DataFrame:
+    """order_img_using_prop_valid_pxls (imageutils.cpp:2470): images
+    ranked by % valid pixels, descending."""
+    return (
+        imgs.groupBy("img_id")
+        .agg((F.sum(F.when(F.col("value") != no_data, 1).otherwise(0))
+              / F.count("*")).alias("valid_frac"))
+        .orderBy(F.desc("valid_frac"), F.asc("img_id"))
+    )
+
+
 def histogram(grid: DataFrame, band: int, lo: float, hi: float,
               n_bins: int) -> DataFrame:
     """Whole-band histogram via width_bucket (get_histogram,

@@ -143,6 +143,18 @@ def range_lut_join(df: DataFrame, col: str, lut_df: DataFrame,
     )
 
 
+def stratified_sample(df: DataFrame, strata_col: str, key: str,
+                      fractions: dict) -> DataFrame:
+    """histo_sampling / sampleBy semantics (python/src/rastergis.cpp:
+    2128: histogram-stratified sample) with the deterministic hash
+    sampler — per-stratum percentage, reproducible across runs and
+    engines."""
+    expr = F.lit(-1)
+    for stratum, pct in fractions.items():
+        expr = F.when(F.col(strata_col) == stratum, F.lit(int(pct))).otherwise(expr)
+    return df.where((F.col(key) * 2654435761) % 100 < expr)
+
+
 def merge_tables(dfs: list) -> DataFrame:
     """merge_vector_layers (vectorutils/__init__.py:2906): UNION ALL
     with schema alignment (allowMissingColumns mirrors OGR's

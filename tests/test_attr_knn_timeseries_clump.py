@@ -174,6 +174,59 @@ def test_clump_relabel_dense(spark, clump_grid):
     assert sorted(ids) == list(range(1, len(ids) + 1))
 
 
+def test_union_of_clumps(spark):
+    a = spark.createDataFrame(
+        [(x, 0, 1.0, 10 if x < 2 else 20) for x in range(4)],
+        "x BIGINT, y BIGINT, value DOUBLE, clump_id BIGINT")
+    b = spark.createDataFrame(
+        [(x, 0, 1.0, 30 if x < 3 else 40) for x in range(4)],
+        "x BIGINT, y BIGINT, value DOUBLE, clump_id BIGINT")
+    out = {r.x: r.clump_id for r in clump.union_of_clumps(a, b).collect()}
+    # boundaries of BOTH labelings preserved: {0,1} | {2} | {3}
+    assert out[0] == out[1]
+    assert len({out[0], out[2], out[3]}) == 3
+    assert sorted(set(out.values())) == [1, 2, 3]  # dense ids
+
+
+def test_pixel_stat_across_images(spark):
+    from rsgislib_spark.operators import raster
+
+    rows = []
+    for img in (1, 2, 3):
+        for x in range(4):
+            rows.append((img, x, 0, float(img * 10 + (x if img == 2 else 0))))
+    imgs = spark.createDataFrame(rows, "img_id INT, x BIGINT, y BIGINT, value DOUBLE")
+    am = {r.x: r.img_id for r in
+          raster.pixel_stat_across_images(imgs, "argmax").collect()}
+    assert all(v == 3 for v in am.values())
+    an = {r.x: r.img_id for r in
+          raster.pixel_stat_across_images(imgs, "argmin").collect()}
+    assert all(v == 1 for v in an.values())
+    md = {r.x: r.median for r in
+          raster.pixel_stat_across_images(imgs, "median").collect()}
+    assert md[0] == 20.0 and md[3] == 23.0
+    order = raster.order_images_by_valid_fraction(
+        imgs.withColumn("value", F.when((F.col("img_id") == 1) & (F.col("x") < 2),
+                                        -99.0).otherwise(F.col("value"))),
+        no_data=-99.0).collect()
+    assert [r.img_id for r in order][-1] == 1  # most-invalid image last
+
+
+def test_stratified_sample(spark):
+    from rsgislib_spark.operators import vector_ops as V
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(2000)],
+        "k BIGINT, s STRING")
+    out = V.stratified_sample(df, "s", "k", {"a": 50, "b": 10}).collect()
+    na = sum(1 for r in out if r.s == "a")
+    nb = sum(1 for r in out if r.s == "b")
+    assert 400 < na < 600 and 40 < nb < 160
+    # deterministic: same rows every time
+    out2 = V.stratified_sample(df, "s", "k", {"a": 50, "b": 10}).collect()
+    assert sorted(r.k for r in out) == sorted(r.k for r in out2)
+
+
 # ------------------------------------------------------------------ ML wrappers
 
 def test_kmeans_and_pca(spark):
