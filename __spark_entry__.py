@@ -35,7 +35,9 @@ def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _poly_index() -> sj.PolygonIndex:
-    return sj.PolygonIndex.from_fixture(fixtures.POLYGONS)
+    # adaptive per-polygon resolution — the scale path (tiny polygons
+    # index fine, huge ones coarse); results independent of res
+    return sj.PolygonIndex.from_fixture(fixtures.POLYGONS, res=None)
 
 
 def _inner_join_oracle_body(select_cols: str) -> str:

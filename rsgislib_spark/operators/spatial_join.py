@@ -50,24 +50,43 @@ class PolygonIndex:
     (vectorattrs/__init__.py:1283): a structure that maps a point's
     key to candidate polygons — here realized as rows (poly_id, cell)
     joined by Catalyst, not a tree probed per row.
+
+    res=None (adaptive) picks a PER-POLYGON resolution
+    (quadcell.adaptive_cover_res): a city-block polygon indexes at
+    fine res (selective join key — without this, every page in its
+    ~5 degree res-6 cell would become a candidate), a continent at
+    coarse res (bounded cover explode). The join then probes one point
+    cell column per distinct res in use (a handful of codegen
+    columns), which is how the index stays selective at 10^12 pages
+    without a trillion-row cover.
     """
 
-    def __init__(self, polys: list, res: int = DEFAULT_RES):
+    def __init__(self, polys: list, res: int | None = DEFAULT_RES,
+                 max_cells: int = 256):
         """polys: list of dicts with keys poly_id, rings (float64
         (k,2) arrays, antimeridian-unwrapped), plus free attrs."""
-        self.res = res
         self.polys = []
         for p in polys:
             rings = [np.asarray(r, dtype=np.float64) for r in p["rings"]]
             bbox = predicates.ring_bbox(rings)
             unwrapped = bbox[2] > 180.0
+            if res is None:
+                xmin, ymin, xmax, ymax = bbox
+                pres = quadcell.adaptive_cover_res(
+                    xmin, ymin, xmax, ymax, max_cells=max_cells)
+            else:
+                pres = res
             self.polys.append(
                 dict(poly_id=int(p["poly_id"]), rings=rings, bbox=bbox,
-                     unwrapped=unwrapped)
+                     unwrapped=unwrapped, res=pres)
             )
 
+    @property
+    def res_set(self) -> list:
+        return sorted({p["res"] for p in self.polys})
+
     @classmethod
-    def from_fixture(cls, fixture_polys: list, res: int = DEFAULT_RES):
+    def from_fixture(cls, fixture_polys: list, res: int | None = DEFAULT_RES):
         from ..data import fixtures
 
         return cls(
@@ -77,7 +96,7 @@ class PolygonIndex:
         )
 
     @classmethod
-    def from_df(cls, polygons: DataFrame, res: int = DEFAULT_RES,
+    def from_df(cls, polygons: DataFrame, res: int | None = DEFAULT_RES,
                 id_col: str = "poly_id", geom_col: str = "geometry"):
         """Collect a (small) polygon DataFrame; geometry is WKB.
 
@@ -95,14 +114,16 @@ class PolygonIndex:
 
     # -------------------------------------------------------- cover
     def cover_rows(self) -> list:
-        """(poly_id, cell, xmin, ymin, xmax, ymax) candidate rows."""
+        """(poly_id, cell, xmin, ymin, xmax, ymax) candidate rows;
+        each polygon's cells are at ITS resolution (cell ids encode
+        the res, so mixed-res rows coexist in one table)."""
         out = []
         for p in self.polys:
             xmin, ymin, xmax, ymax = p["bbox"]
             if xmax > 180.0:  # unwrapped antimeridian bbox → wrap signature
-                cells = quadcell.cover_bbox(xmin, ymin, xmax - 360.0, ymax, self.res)
+                cells = quadcell.cover_bbox(xmin, ymin, xmax - 360.0, ymax, p["res"])
             else:
-                cells = quadcell.cover_bbox(xmin, ymin, xmax, ymax, self.res)
+                cells = quadcell.cover_bbox(xmin, ymin, xmax, ymax, p["res"])
             for c in cells.tolist():
                 out.append((p["poly_id"], c, xmin, ymin, xmax, ymax))
         return out
@@ -162,7 +183,19 @@ def spatial_join(points: DataFrame, index: PolygonIndex, how: str = "inner",
     if len(index.cover_rows()) <= broadcast_max_cover:
         cover = F.broadcast(cover)
 
-    pts = points.withColumn("cell", quadcell.cell_col(lon, lat, index.res))
+    # one probe cell per resolution in use (cell ids encode the res,
+    # so a single equi-join key serves every granularity); explode is
+    # a |res_set|-fold fan-out of the PROBE side only, still a plain
+    # hash join
+    res_set = index.res_set
+    if len(res_set) == 1:
+        pts = points.withColumn("cell", quadcell.cell_col(lon, lat, res_set[0]))
+    else:
+        pts = points.withColumn(
+            "cell",
+            F.explode(F.array(*[quadcell.cell_col(lon, lat, r)
+                                for r in res_set])),
+        )
     cand = (
         pts.join(cover, "cell")
         .where(

@@ -105,6 +105,37 @@ def test_dateline_polygon_gets_hits(pts, oracle_pairs):
         }
 
 
+def test_adaptive_multires_same_result(pts, oracle_pairs):
+    """res=None: per-polygon resolution; results identical, index
+    selective — a tiny polygon gets fine cells instead of flooding
+    the refine with every page in a 5-degree cell."""
+    idx = sj.PolygonIndex.from_fixture(fixtures.POLYGONS, res=None)
+    assert len(idx.res_set) >= 2  # fixture mixes tiny and huge polys
+    got = {(r.url, r.poly_id)
+           for r in sj.spatial_join(pts, idx, how="inner")
+           .select("url", "poly_id").collect()}
+    assert got == oracle_pairs
+
+
+def test_adaptive_res_selectivity(spark, pts):
+    """A city-block-sized polygon must index at fine res and produce
+    far fewer refine candidates than a coarse fixed res would."""
+    tiny = [dict(poly_id=99, rings=[np.array(
+        [[10.0, 50.0], [10.02, 50.0], [10.02, 50.02], [10.0, 50.02],
+         [10.0, 50.0]])])]
+    idx = sj.PolygonIndex(tiny, res=None)
+    assert idx.polys[0]["res"] >= 11
+    coarse = sj.PolygonIndex(tiny, res=5)
+    fine_cand = pts.withColumn(
+        "cell", sj.quadcell.cell_col("lon", "lat", idx.polys[0]["res"])
+    ).join(idx.cover_df(spark), "cell").count()
+    coarse_cand = pts.withColumn(
+        "cell", sj.quadcell.cell_col("lon", "lat", 5)
+    ).join(coarse.cover_df(spark), "cell").count()
+    assert fine_cand <= coarse_cand
+    assert fine_cand < 20  # essentially only true hits survive
+
+
 def test_plan_is_broadcast_no_shuffle(pts):
     """The 100 TB posture: small polygon side must broadcast — the
     candidate join must not shuffle the points."""
