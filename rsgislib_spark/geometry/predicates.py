@@ -27,26 +27,35 @@ EARTH_RADIUS_M = 6371008.8  # IUGG mean radius (public constant)
 
 # ---------------------------------------------------------------- ray cast
 
+EDGE_CHUNK = 512  # bounds the points x edges broadcast to ~32 MB/batch
+
+
 def point_in_rings(px: np.ndarray, py: np.ndarray, rings: list) -> np.ndarray:
     """Even-odd point-in-polygon for arrays of points vs one polygon.
 
     rings: list of (k,2) float64 arrays (shell + holes, closed).
     Returns bool array. Boundary semantics follow the half-open rule
     of the crossing formula (matches the SQL oracle exactly).
+
+    Edges are processed in EDGE_CHUNK blocks so a 100k-vertex coastline
+    polygon never materializes a points x edges matrix beyond ~32 MB —
+    memory-bounded regardless of Arrow batch size or polygon
+    complexity (the 100 TB posture).
     """
     px = np.asarray(px, dtype=np.float64)
     py = np.asarray(py, dtype=np.float64)
     crossings = np.zeros(px.shape, dtype=np.int64)
+    pyb = py[:, None]
+    pxb = px[:, None]
     for ring in rings:
-        x1, y1 = ring[:-1, 0], ring[:-1, 1]
-        x2, y2 = ring[1:, 0], ring[1:, 1]
-        # broadcast: points (n,1) vs edges (m,)
-        pyb = py[:, None]
-        pxb = px[:, None]
-        cond = (y1 > pyb) != (y2 > pyb)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            xs = (x2 - x1) * (pyb - y1) / (y2 - y1) + x1
-        crossings += np.sum(cond & (pxb < xs), axis=1)
+        for s in range(0, len(ring) - 1, EDGE_CHUNK):
+            e = min(s + EDGE_CHUNK, len(ring) - 1)
+            x1, y1 = ring[s:e, 0], ring[s:e, 1]
+            x2, y2 = ring[s + 1:e + 1, 0], ring[s + 1:e + 1, 1]
+            cond = (y1 > pyb) != (y2 > pyb)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xs = (x2 - x1) * (pyb - y1) / (y2 - y1) + x1
+            crossings += np.sum(cond & (pxb < xs), axis=1)
     return (crossings % 2) == 1
 
 

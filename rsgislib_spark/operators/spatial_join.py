@@ -171,12 +171,14 @@ def spatial_join(points: DataFrame, index: PolygonIndex, how: str = "inner",
 
     how='inner' → matched (point, poly) pairs (a point in k polygons
     yields k rows — sjoin fan-out semantics); how='left' → unmatched
-    points kept with null poly_id; how='left_semi' → just the matched
-    points, deduped (spatial_select_gp semantics,
-    vectorutils/__init__.py:1585: tmp unique id + drop_duplicates).
+    points kept with null poly_id; how='right' → unmatched POLYGONS
+    kept with null point columns (perform_spatial_join's right);
+    how='left_semi' → just the matched points, deduped
+    (spatial_select_gp semantics, vectorutils/__init__.py:1585:
+    tmp unique id + drop_duplicates).
     """
-    if how not in {"inner", "left", "left_semi"}:
-        raise ValueError(f"join_how must be inner/left/left_semi, got {how}")
+    if how not in {"inner", "left", "right", "left_semi"}:
+        raise ValueError(f"join_how must be inner/left/right/left_semi, got {how}")
 
     spark = points.sparkSession
     cover = index.cover_df(spark)
@@ -219,6 +221,11 @@ def spatial_join(points: DataFrame, index: PolygonIndex, how: str = "inner",
     if how == "left_semi":
         key_cols = [c for c in points.columns]
         return matched.select(*key_cols).dropDuplicates(key_cols)
+    if how == "right":
+        ids = spark.createDataFrame(
+            [(p["poly_id"],) for p in index.polys], "poly_id BIGINT")
+        return ids.join(matched.select(*points.columns, "poly_id"),
+                        "poly_id", "left")
     # left: keep unmatched points with null poly_id
     return points.join(
         matched.select(*points.columns, "poly_id"), points.columns, "left"

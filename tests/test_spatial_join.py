@@ -64,6 +64,19 @@ def test_left_join_keeps_unmatched(pts, oracle_pairs):
             assert r.poly_id is None
 
 
+def test_right_join_keeps_empty_polygons(pts, oracle_pairs):
+    idx = sj.PolygonIndex.from_fixture(fixtures.POLYGONS)
+    rows = sj.spatial_join(pts, idx, how="right").collect()
+    matched_polys = {p for (_, p) in oracle_pairs}
+    got_polys = {r.poly_id for r in rows}
+    assert got_polys == {p["poly_id"] for p in fixtures.POLYGONS}
+    for r in rows:
+        if r.poly_id not in matched_polys:
+            assert r.url is None
+    n_matched_rows = sum(1 for r in rows if r.url is not None)
+    assert n_matched_rows == len(oracle_pairs)
+
+
 def test_left_semi_dedupes_fanout(pts, oracle_pairs):
     idx = sj.PolygonIndex.from_fixture(fixtures.POLYGONS)
     out = sj.spatial_join(pts, idx, how="left_semi")
