@@ -265,6 +265,17 @@ def pixel_stat_across_images(imgs: DataFrame, stat: str = "argmax") -> DataFrame
     return imgs.groupBy("x", "y").agg(agg)
 
 
+def count_value_occurrences_across_images(imgs: DataFrame,
+                                          target: float) -> DataFrame:
+    """count_imgs_int_val_occur (imagecalc/__init__.py:1897): per
+    pixel, in how many images of the stack the target value occurs."""
+    return (
+        imgs.groupBy("x", "y")
+        .agg(F.sum(F.when(F.col("value") == target, 1).otherwise(0))
+             .alias("n_occur"))
+    )
+
+
 def order_images_by_valid_fraction(imgs: DataFrame,
                                    no_data: float) -> DataFrame:
     """order_img_using_prop_valid_pxls (imageutils.cpp:2470): images

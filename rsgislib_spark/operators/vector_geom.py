@@ -17,6 +17,20 @@ from pyspark.sql import DataFrame, functions as F
 from ..geometry import predicates, wkb
 
 
+def point_dist_angle(df: DataFrame, lon: str, lat: str,
+                     ref_lon: float, ref_lat: float) -> DataFrame:
+    """calc_vec_pt_dist_angle (vectorattrs/__init__.py:1939): planar
+    distance + bearing (degrees, clockwise from north) from a
+    reference point — pure codegen columns."""
+    dx = F.col(lon) - F.lit(ref_lon)
+    dy = F.col(lat) - F.lit(ref_lat)
+    return df.withColumn(
+        "dist", F.sqrt(dx * dx + dy * dy)
+    ).withColumn(
+        "angle", (F.degrees(F.atan2(dx, dy)) + 360.0) % 360.0
+    )
+
+
 def add_geom_stats(df: DataFrame, geom_col: str = "geometry") -> DataFrame:
     """Adds xmin/ymin/xmax/ymax, area, perimeter, centroid_x/y."""
     out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"

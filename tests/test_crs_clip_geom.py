@@ -77,6 +77,47 @@ def test_add_geom_stats(spark):
         assert r.perimeter == pytest.approx(predicates.ring_length(rings), rel=1e-12)
 
 
+def test_point_dist_angle(spark):
+    from rsgislib_spark.operators import vector_geom
+
+    df = spark.createDataFrame(
+        [(0.0, 1.0), (1.0, 0.0), (0.0, -1.0), (-1.0, 0.0)],
+        "lon DOUBLE, lat DOUBLE")
+    got = {(r.lon, r.lat): (r.dist, r.angle) for r in
+           vector_geom.point_dist_angle(df, "lon", "lat", 0.0, 0.0).collect()}
+    import pytest as _pt
+
+    assert got[(0.0, 1.0)] == (_pt.approx(1.0), _pt.approx(0.0))     # north
+    assert got[(1.0, 0.0)] == (_pt.approx(1.0), _pt.approx(90.0))    # east
+    assert got[(0.0, -1.0)] == (_pt.approx(1.0), _pt.approx(180.0))  # south
+    assert got[(-1.0, 0.0)] == (_pt.approx(1.0), _pt.approx(270.0))  # west
+
+
+def test_count_value_occurrences(spark):
+    from rsgislib_spark.operators import raster
+
+    rows = [(1, 0, 0, 5.0), (2, 0, 0, 5.0), (3, 0, 0, 7.0),
+            (1, 1, 0, 1.0), (2, 1, 0, 2.0), (3, 1, 0, 3.0)]
+    imgs = spark.createDataFrame(rows, "img_id INT, x BIGINT, y BIGINT, value DOUBLE")
+    got = {r.x: r.n_occur for r in
+           raster.count_value_occurrences_across_images(imgs, 5.0).collect()}
+    assert got == {0: 2, 1: 0}
+
+
+def test_ngram_jaccard_max_df_caps_hot_shingles(spark):
+    from rsgislib_spark.operators import dedup
+
+    # every doc shares the hot shingle "x y z"; capped out it can't
+    # create candidate pairs on its own
+    docs = spark.createDataFrame(
+        [(i, f"x y z unique{i} token{i} word{i}") for i in range(10)],
+        "doc_id BIGINT, text STRING")
+    no_cap = dedup.ngram_jaccard_pairs(docs, threshold=0.01).count()
+    capped = dedup.ngram_jaccard_pairs(docs, threshold=0.01, max_df=5).count()
+    assert no_cap == 45  # all pairs share "x y z"
+    assert capped == 0   # hot shingle dropped, nothing else shared
+
+
 def test_muparser_translation():
     assert expressions.muparser_to_sql("a > 1 ? b : c") == \
         "CASE WHEN a > 1 THEN b ELSE c END"

@@ -87,7 +87,13 @@ def test_mercator_roundtrip_prop(lon, lat):
        st.floats(-40, 0, allow_nan=False), st.floats(-40, 0, allow_nan=False),
        st.floats(1, 40, allow_nan=False), st.floats(1, 40, allow_nan=False))
 def test_clip_never_grows_area(poly, xmin, ymin, w, h):
-    ring = np.array(poly + [poly[0]])
+    # angle-sort around the centroid -> star-shaped, hence simple
+    # (Sutherland-Hodgman is defined for simple polygons)
+    pts = np.array(poly)
+    c = pts.mean(axis=0)
+    order = np.argsort(np.arctan2(pts[:, 1] - c[1], pts[:, 0] - c[0]))
+    pts = pts[order]
+    ring = np.vstack([pts, pts[:1]])
     full = predicates.shoelace_area([ring])
     clipped = clip.clip_rings_to_bbox([ring], xmin, ymin, xmin + w, ymin + h)
     part = sum(predicates.shoelace_area([c]) for c in clipped)
@@ -105,8 +111,20 @@ def test_clip_never_grows_area(poly, xmin, ymin, w, h):
 def test_raycast_agrees_with_winding(poly, px, py):
     """Even-odd ray cast vs an independent winding-number test (they
     agree for points not on the boundary of simple polygons; we allow
-    self-intersecting inputs to disagree only where winding > 1)."""
+    self-intersecting inputs to disagree only where winding > 1).
+    Degenerate slivers and on-boundary points are excluded — both
+    algorithms are only defined off the boundary."""
+    from hypothesis import assume
+
     ring = np.array(poly + [poly[0]], dtype=np.float64)
+    assume(predicates.shoelace_area([ring]) > 1e-6)
+    # distance from point to each edge must be meaningful
+    for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+        ex, ey = x2 - x1, y2 - y1
+        L2 = ex * ex + ey * ey
+        t = 0.0 if L2 == 0 else max(0.0, min(1.0, ((px - x1) * ex + (py - y1) * ey) / L2))
+        d2 = (px - (x1 + t * ex)) ** 2 + (py - (y1 + t * ey)) ** 2
+        assume(d2 > 1e-12)
     got = predicates.point_in_rings(np.array([px]), np.array([py]), [ring])[0]
     # winding number
     wn = 0
