@@ -10,7 +10,34 @@ see the module docstrings for the reproducibility contract.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# the engine package lives next to this file; make imports work no
+# matter how the driver loads the module (cwd-independent)
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+
+_PKG_ZIP: list = []
+
+
+def _ensure_pkg_shipped(spark) -> None:
+    """Ship rsgislib_spark to executor python workers (addPyFile —
+    the --py-files path). Driver-side sys.path alone is not enough:
+    pandas-UDF closures re-import the package BY NAME inside each
+    worker, which only sees PYTHONPATH/pyFiles."""
+    if not _PKG_ZIP:
+        import shutil
+        import tempfile
+
+        base = os.path.join(tempfile.gettempdir(),
+                            f"rsgislib_spark_pkg_{os.getpid()}")
+        _PKG_ZIP.append(shutil.make_archive(base, "zip", _REPO, "rsgislib_spark"))
+    try:
+        spark.sparkContext.addPyFile(_PKG_ZIP[0])
+    except Exception:  # noqa: BLE001 — already added to this context
+        pass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1207,11 +1234,22 @@ _REGISTRY: dict[str, tuple] = {
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial join (within) at sf0.001."""
+    _ensure_pkg_shipped(spark)
     return q_spatial_join_within(spark, "/root/testdata/sf0.001")
 
 
+def _wrap(fn):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_pkg_shipped(spark)
+        return fn(spark, sf_dir)
+
+    run.__name__ = fn.__name__
+    run.__doc__ = fn.__doc__
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _sql) in _REGISTRY.items()}
+    return {name: _wrap(fn) for name, (fn, _sql) in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
