@@ -1172,6 +1172,75 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb.where("vec_id < 32"), emb, k=3)
 
 
+# ------------------------------------------------------------- full pipeline
+
+_PIPE_N = 20000
+
+
+def q_pages_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE north-star flow as one gated query: synthesize
+    Common-Crawl-style pages -> geoparse (geo-token parse + gazetteer
+    fallback) -> spatial join (adaptive cells + ray-cast refine) ->
+    (url, poly_id) assignments. The oracle replicates the generator,
+    the %.4f geo-token round-trip, and the join arithmetically."""
+    from rsgislib_spark.data import pages as pages_mod
+    from rsgislib_spark.functions.geoparse import geoparse
+
+    pg = pages_mod.pages_df(spark, _PIPE_N).drop("lon_true", "lat_true")
+    pts = geoparse(pg).where("lon IS NOT NULL")
+    return sj.spatial_join(pts, _poly_index(), how="inner").select(
+        "url", "poly_id")
+
+
+def q_pages_pipeline_sql() -> str:
+    from rsgislib_spark.data.pages import (N_CITIES, N_PLACES, PLACE_LAT_SQL,
+                                           PLACE_LON_SQL, TLDS)
+
+    place_j = (f"(CASE WHEN i % 10 < 4 THEN i % {N_CITIES}"
+               f" ELSE (i * 2654435761) % {N_PLACES} END)")
+    plon = PLACE_LON_SQL.format(j="pj")
+    plat = PLACE_LAT_SQL.format(j="pj")
+    dlon = "CAST((i * 69621 + 3) % 4001 AS DOUBLE) / 1000.0 - 2.0"
+    dlat = "CAST((i * 40692 + 5) % 4001 AS DOUBLE) / 1000.0 - 2.0"
+    # NB pages.py uses Column arithmetic: (x/1000.0 - 2.0) where the
+    # decimal literals become DOUBLE in Spark; DuckDB needs CASTs
+    dlon = ("CAST((i * 69621 + 3) % 4001 AS DOUBLE)"
+            " / CAST(1000 AS DOUBLE) - CAST(2 AS DOUBLE)")
+    dlat = ("CAST((i * 40692 + 5) % 4001 AS DOUBLE)"
+            " / CAST(1000 AS DOUBLE) - CAST(2 AS DOUBLE)")
+    wrap = ("((({v}) + CAST(180 AS DOUBLE)) % CAST(360 AS DOUBLE)"
+            " + CAST(360 AS DOUBLE)) % CAST(360 AS DOUBLE)"
+            " - CAST(180 AS DOUBLE)")
+    lon_true = wrap.format(v=f"({plon}) + ({dlon})")
+    lat_true = (f"LEAST(CAST(89.999 AS DOUBLE), GREATEST(CAST(-89.999 AS DOUBLE),"
+                f" ({plat}) + ({dlat})))")
+    tld = ("CASE " + " ".join(
+        f"WHEN i % 5 = {k} THEN '{t}'" for k, t in enumerate(TLDS)) + " END")
+    url = (f"'https://host' || CAST(i % 97 AS VARCHAR) || '.example.' || {tld}"
+           f" || '/loc' || CAST(pj AS VARCHAR) || '/' || CAST(i AS VARCHAR)")
+    # geoparse round-trip: rows with a geo token carry %.4f-printed
+    # coords; fallback rows resolve to the gazetteer place center
+    lon = (f"CASE WHEN i % 5 <> 4 THEN CAST(printf('%.4f', lon_true) AS DOUBLE)"
+           f" ELSE {plon} END")
+    lat = (f"CASE WHEN i % 5 <> 4 THEN CAST(printf('%.4f', lat_true) AS DOUBLE)"
+           f" ELSE {plat} END")
+    parts = []
+    for p in fixtures.POLYGONS:
+        cond = fixtures.poly_inside_sql(p, "lon", "lat")
+        parts.append(f"SELECT url, CAST({p['poly_id']} AS BIGINT) AS poly_id "
+                     f"FROM pts WHERE {cond}")
+    return f"""
+WITH raw AS (
+  SELECT i, {place_j} AS pj FROM (
+    SELECT CAST(g.i AS BIGINT) AS i
+    FROM generate_series(0, {_PIPE_N - 1}) g(i)) t),
+gen AS (
+  SELECT i, pj, {lon_true} AS lon_true, {lat_true} AS lat_true FROM raw),
+pts AS (
+  SELECT {url} AS url, {lon} AS lon, {lat} AS lat FROM gen)
+""" + " UNION ALL ".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -1229,6 +1298,7 @@ _REGISTRY: dict[str, tuple] = {
     "blob_meta": (q_blob_meta, q_blob_meta_sql),
     "cosine_topk": (q_cosine_topk, q_cosine_topk_sql),
     "ivf_topk": (q_ivf_topk, None),
+    "pages_pipeline": (q_pages_pipeline, q_pages_pipeline_sql),
 }
 
 
