@@ -136,6 +136,21 @@ def q_spatial_join_within_sql() -> str:
     return _inner_join_oracle_sql("pt_id")
 
 
+def q_spatial_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """perform_spatial_join(join_how='left'): unmatched points kept
+    with null poly_id (vectorattrs/__init__.py:1276 join_how)."""
+    pts = _points(spark, sf_dir)
+    return sj.spatial_join(pts, _poly_index(), how="left").select(
+        "pt_id", "poly_id")
+
+
+def q_spatial_join_left_sql() -> str:
+    return (f"WITH pts AS ({PTS_SQL}), "
+            f"matched AS ({_inner_join_oracle_body('pt_id')}) "
+            f"SELECT pts.pt_id, matched.poly_id FROM pts "
+            f"LEFT JOIN matched ON pts.pt_id = matched.pt_id")
+
+
 def q_count_pt_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """count_pt_intersects (vectorattrs/__init__.py:1022): polygons ⟕
     point counts; empty polygons get NULL (pandas-merge semantics)."""
@@ -1249,6 +1264,7 @@ _REGISTRY: dict[str, tuple] = {
     "tile_assign": (q_tile_assign, q_tile_assign_sql),
     "cell_rollup": (q_cell_rollup, q_cell_rollup_sql),
     "spatial_join_within": (q_spatial_join_within, q_spatial_join_within_sql),
+    "spatial_join_left": (q_spatial_join_left, q_spatial_join_left_sql),
     "count_pt_intersects": (q_count_pt_intersects, q_count_pt_intersects_sql),
     "annotate_selection": (q_annotate_selection, q_annotate_selection_sql),
     "zonal_stats": (q_zonal_stats, q_zonal_stats_sql),
