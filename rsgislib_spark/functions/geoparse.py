@@ -40,9 +40,12 @@ def geoparse(pages: DataFrame, gazetteer: DataFrame | None = None,
     gaz = gazetteer if gazetteer is not None else gazetteer_df(spark)
 
     if fast:
-        # " geo:<lon>,<lat> " → token between ' geo:' and next space;
-        # rows without the marker yield non-numeric junk → try_cast null
-        tail = F.substring_index(F.substring_index("text", " geo:", -1), " ", 1)
+        # " geo:<lon>,<lat> " → token after the FIRST ' geo:' marker
+        # (split with limit=2; element 2 is null when the marker is
+        # absent, so unmarked rows yield null lon/lat — same semantics
+        # as the regexp path, which also matches the first occurrence)
+        after = F.try_element_at(F.split("text", " geo:", 2), F.lit(2))
+        tail = F.substring_index(after, " ", 1)
         pair = F.split(tail, ",")
         df = pages.withColumn(
             "_geo_lon", F.try_element_at(pair, F.lit(1)).try_cast("double")

@@ -36,57 +36,53 @@ COORD = 1 << 32  # pixel id = y * COORD + x
 
 
 def _tile_cc(pdf: pd.DataFrame, no_data: float | None) -> pd.DataFrame:
+    """Fully vectorized per-tile CC: build the equal-value 4-adjacency
+    edge lists once, then Shiloach–Vishkin-style label convergence —
+    per round, every node takes the min label over its neighbours
+    (np.minimum.at scatter) followed by full pointer jumping
+    (L = L[L] to a fixed point). Labels only decrease and stay inside
+    the component, so the fixed point is the component's min flat
+    index — O(log d) rounds of pure numpy, no per-pixel Python."""
     xs = pdf["x"].to_numpy(dtype=np.int64)
     ys = pdf["y"].to_numpy(dtype=np.int64)
     vs = pdf["value"].to_numpy(dtype=np.float64)
     x0, y0 = xs.min(), ys.min()
-    W, H = xs.max() - x0 + 1, ys.max() - y0 + 1
+    W, H = int(xs.max() - x0 + 1), int(ys.max() - y0 + 1)
     V = np.full((H, W), np.nan)
     V[ys - y0, xs - x0] = vs
-
-    parent = np.arange(H * W, dtype=np.int64)
-
-    def find(i):
-        root = i
-        while parent[root] != root:
-            root = parent[root]
-        while parent[i] != root:
-            parent[i], i = root, parent[i]
-        return root
-
-    def union(a, b):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-
     valid = ~np.isnan(V)
     if no_data is not None:
         valid &= V != no_data
-    # 4-connectivity: union with left and top neighbours of equal value
-    for yy in range(H):
-        for xx in range(W):
-            if not valid[yy, xx]:
-                continue
-            i = yy * W + xx
-            if xx > 0 and valid[yy, xx - 1] and V[yy, xx - 1] == V[yy, xx]:
-                union(i, i - 1)
-            if yy > 0 and valid[yy - 1, xx] and V[yy - 1, xx] == V[yy, xx]:
-                union(i, i - W)
 
-    # local label = min global pixel id in the (tile-local) component
-    lab = np.full(len(pdf), -1, dtype=np.int64)
-    gid = (ys.astype(np.int64)) * COORD + xs
-    roots = np.array([find((y - y0) * W + (x - x0)) for x, y in zip(xs, ys)])
-    order = np.argsort(gid, kind="stable")
-    root_min: dict = {}
-    for i in order:
-        r = roots[i]
-        if r not in root_min:
-            root_min[r] = gid[i]
+    idx = np.arange(H * W, dtype=np.int64).reshape(H, W)
+    eq_h = valid[:, 1:] & valid[:, :-1] & (V[:, 1:] == V[:, :-1])
+    eq_v = valid[1:, :] & valid[:-1, :] & (V[1:, :] == V[:-1, :])
+    ei = np.concatenate([idx[:, 1:][eq_h], idx[1:, :][eq_v]])
+    ej = np.concatenate([idx[:, :-1][eq_h], idx[:-1, :][eq_v]])
+
+    L = np.arange(H * W, dtype=np.int64)
+    while True:
+        M = L.copy()
+        if len(ei):
+            np.minimum.at(M, ei, L[ej])
+            np.minimum.at(M, ej, L[ei])
+        while True:  # pointer jumping to full compression
+            MM = M[M]
+            if np.array_equal(MM, M):
+                break
+            M = MM
+        if np.array_equal(M, L):
+            break
+        L = M
+
+    # component min flat index ↔ min global pixel id (both row-major):
+    # clump_id = gid of the root = (root//W + y0) * COORD + root%W + x0
+    flat = (ys - y0) * W + (xs - x0)
+    roots = L[flat]
+    lab = (roots // W + y0) * COORD + (roots % W + x0)
     mask = valid[ys - y0, xs - x0]
-    lab[mask] = np.array([root_min[r] for r in roots[mask]], dtype=np.int64)
     out = pdf.copy()
-    out["clump_id"] = lab
+    out["clump_id"] = np.where(mask, lab, -1)
     return out[out["clump_id"] >= 0]
 
 
@@ -167,25 +163,25 @@ def clump(grid: DataFrame, tile: int = 64,
 def union_of_clumps(a: DataFrame, b: DataFrame) -> DataFrame:
     """union_of_clumps (python/src/segmentation.cpp:723): combine two
     clump labelings preserving ALL boundaries — the label pair
-    (clump_a, clump_b) becomes the new clump id (dense_rank over the
-    pair, SURVEY §2.7)."""
-    from pyspark.sql import Window
+    (clump_a, clump_b) becomes the new clump id (dense ids over the
+    pair via the two-pass histogram rank — no single-partition
+    Exchange, SURVEY §2.7)."""
+    from .vector_ops import dense_ids
 
     pair = (
         a.selectExpr("x", "y", "clump_id AS ca")
         .join(b.selectExpr("x", "y", "clump_id AS cb"), ["x", "y"])
     )
-    ids = pair.select("ca", "cb").distinct().withColumn(
-        "clump_id", F.dense_rank().over(Window.orderBy("ca", "cb")))
+    ids = dense_ids(pair, ["ca", "cb"], "clump_id")
     return pair.join(F.broadcast(ids), ["ca", "cb"]).select("x", "y", "clump_id")
 
 
 def relabel_dense(clumped: DataFrame) -> DataFrame:
     """Optional 1..N renumbering (the reference's clump ids are dense
-    RAT row indices) — dense_rank over the stable min-pixel ids."""
-    from pyspark.sql import Window
+    RAT row indices) over the stable min-pixel ids — two-pass
+    histogram rank, no global Window."""
+    from .vector_ops import dense_ids
 
-    ids = clumped.select("clump_id").distinct().withColumn(
-        "clump_seq", F.dense_rank().over(Window.orderBy("clump_id")))
+    ids = dense_ids(clumped, ["clump_id"], "clump_seq")
     return clumped.join(F.broadcast(ids), "clump_id").drop("clump_id") \
                   .withColumnRenamed("clump_seq", "clump_id")

@@ -56,16 +56,25 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id",
-                text_col: str = "text") -> DataFrame:
+                text_col: str = "text",
+                max_ids: int | None = None) -> DataFrame:
     """Hash-groupBy exact dedup: groups by md5(text), keeps lowest id
-    (deterministic, unlike dropDuplicates' arbitrary row)."""
-    return (
+    (deterministic, unlike dropDuplicates' arbitrary row).
+
+    max_ids caps the collected doc_ids list per group — at 100 TB a
+    mega-duplicate boilerplate page ("404 not found") can have 10^8
+    copies and an unbounded collect_list blows the aggregation buffer.
+    keep_id/n_copies stay exact either way."""
+    out = (
         df.select(F.col(id_col).alias("doc_id"), F.md5(text_col).alias("h"))
         .groupBy("h")
         .agg(F.min("doc_id").alias("keep_id"),
              F.count("*").alias("n_copies"),
              F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
     )
+    if max_ids is not None:
+        out = out.withColumn("doc_ids", F.slice("doc_ids", 1, max_ids))
+    return out
 
 
 def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
@@ -147,10 +156,28 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5,
         l.join(r, "bk").where(F.col("a") < F.col("b"))
         .select("a", "b").distinct()
     )
-    exact = ngram_jaccard_pairs(df, threshold=0.0, id_col=id_col,
-                                text_col=text_col, n=n)
+    # Verify ONLY the candidate pairs: fan each pair out by doc a's
+    # shingles, equi-join to doc b's shingle set on (b, shingle) to
+    # count the intersection. Cost is O(Σ|shingles(a)| over candidate
+    # pairs) — linear in candidates, never the corpus-quadratic
+    # all-pairs self-join (which would defeat LSH's purpose at 100 TB).
+    sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sh_a = sh.selectExpr("doc_id AS a", "shingle")
+    sh_b = sh.selectExpr("doc_id AS b", "shingle")
+    inter = (
+        cand.join(sh_a, "a")
+        .join(sh_b, ["b", "shingle"])
+        .groupBy("a", "b").agg(F.count("*").alias("n_common"))
+    )
     return (
-        cand.join(exact, ["a", "b"])
+        inter.join(sizes.selectExpr("doc_id AS a", "sz AS sza"), "a")
+        .join(sizes.selectExpr("doc_id AS b", "sz AS szb"), "b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("sza") + F.col("szb") - F.col("n_common")).cast("double"),
+        )
         .where(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )

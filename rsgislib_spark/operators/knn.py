@@ -165,7 +165,14 @@ def radius_count(points: DataFrame, radius_deg: float,
     radius shares a ring — then exact distance filter.
     """
     if res is None:
-        res = 3
+        # coarsest cell is 180 deg tall at res 0; the k-ring-1
+        # guarantee needs cell height >= radius, so radii above 180
+        # have no valid res (and would silently under-count)
+        if radius_deg > 180.0:
+            raise ValueError(
+                f"radius_deg={radius_deg} exceeds 180 — no cell "
+                "resolution satisfies the k-ring-1 completeness bound")
+        res = 0
         while 180.0 / (1 << (res + 1)) >= radius_deg and res < 12:
             res += 1
     a = points.select(

@@ -147,6 +147,11 @@ def focal_filter(grid: DataFrame, stat: str = "mean", k: int = 3,
     stat_name = stat
 
     def _focal(key, pdf):
+        """One vectorized nan-reduction over a sliding_window_view per
+        tile — NaN-pad by the halo so edge windows truncate exactly
+        like the per-pixel clip would (no per-pixel Python: the r1
+        version looped interpreted Python over every pixel, O(tile²k²)
+        Python ops)."""
         xs = pdf["x"].to_numpy()
         ys = pdf["y"].to_numpy()
         vs = pdf["value"].to_numpy(dtype=np.float64)
@@ -159,25 +164,28 @@ def focal_filter(grid: DataFrame, stat: str = "mean", k: int = 3,
         W[ys - wy0, xs - wx0] = vs
         home = (xs >= x0) & (xs < x1) & (ys >= y0) & (ys < y1)
         hx, hy = xs[home], ys[home]
-        out = np.empty(home.sum(), dtype=np.float64)
-        for i, (xx, yy) in enumerate(zip(hx, hy)):
-            win = W[max(yy - h - wy0, 0): yy + h + 1 - wy0,
-                    max(xx - h - wx0, 0): xx + h + 1 - wx0]
-            w = win[~np.isnan(win)]
+        if len(hx) == 0:  # halo-only group at the raster edge
+            return pd.DataFrame({"x": pd.array([], dtype="int64"),
+                                 "y": pd.array([], dtype="int64"),
+                                 "focal": pd.array([], dtype="float64")})
+        P = np.pad(W, h, constant_values=np.nan)
+        wins = np.lib.stride_tricks.sliding_window_view(P, (k, k))
+        w = wins[hy - wy0, hx - wx0].reshape(len(hx), -1)
+        with np.errstate(all="ignore"):
             if stat_name == "mean":
-                out[i] = w.mean()
+                out = np.nanmean(w, axis=1)
             elif stat_name == "min":
-                out[i] = w.min()
+                out = np.nanmin(w, axis=1)
             elif stat_name == "max":
-                out[i] = w.max()
+                out = np.nanmax(w, axis=1)
             elif stat_name == "median":
-                out[i] = np.median(w)
+                out = np.nanmedian(w, axis=1)
             elif stat_name == "stddev":
-                out[i] = w.std()
+                out = np.nanstd(w, axis=1)
             elif stat_name in ("sum", "total"):
-                out[i] = w.sum()
+                out = np.nansum(w, axis=1)
             elif stat_name == "range":
-                out[i] = w.max() - w.min()
+                out = np.nanmax(w, axis=1) - np.nanmin(w, axis=1)
         return pd.DataFrame({"x": hx, "y": hy, "focal": out})
 
     return exploded.groupBy("_tile").applyInPandas(
@@ -185,16 +193,29 @@ def focal_filter(grid: DataFrame, stat: str = "mean", k: int = 3,
 
 
 def distance_to_value(grid: DataFrame, target_value: float, band: int = 1,
-                      max_dist: float | None = None) -> DataFrame:
+                      max_dist: float | None = None, dense: bool = False,
+                      tile: int = 64) -> DataFrame:
     """calc_dist_to_img_vals (imagecalc/__init__.py:145-245,
     gdal.ComputeProximity): per pixel, distance (pixel units) to the
     nearest pixel holding ``target_value``; optionally capped at
-    max_dist like the reference's max_dist parameter (its tiled
-    variant's overlap = ceil(max_dist/res)+10 is exactly the halo this
-    plan avoids needing: the target set is collected + broadcast —
-    targets are sparse by construction; a dense-target distance
-    transform would go through halo'd tiles like focal_filter).
+    max_dist like the reference's max_dist parameter.
+
+    Two physical strategies:
+    - dense=False (sparse targets, e.g. a handful of burned features):
+      collect + broadcast the target set into a mapInPandas argmin —
+      zero shuffle, but driver-bound if targets are dense.
+    - dense=True: fully distributed halo'd-tile exact EDT — the
+      reference's own tiled recipe (calc_dist_to_img_vals_tiled,
+      imagecalc/__init__.py:280-468, overlap = ceil(max_dist/res)):
+      only TARGET pixels are exploded into neighbouring tiles'
+      halos (never the full raster), then a per-tile two-phase exact
+      distance transform (1D row sweep + bounded column min) in numpy.
+      Requires max_dist (the halo bound); never touches the driver.
     """
+    if dense:
+        if max_dist is None:
+            raise ValueError("dense=True requires max_dist (halo bound)")
+        return _distance_dense(grid, target_value, band, float(max_dist), tile)
     targets = (
         grid.where((F.col("band") == band) & (F.col("value") == target_value))
         .select("x", "y").collect()
@@ -222,6 +243,74 @@ def distance_to_value(grid: DataFrame, target_value: float, band: int = 1,
         grid.where(F.col("band") == band).select("x", "y")
         .mapInPandas(_dist, schema="x BIGINT, y BIGINT, dist DOUBLE")
     )
+
+
+def _distance_dense(grid: DataFrame, target_value: float, band: int,
+                    max_dist: float, tile: int) -> DataFrame:
+    """Distributed exact EDT, capped at max_dist. Shuffle cost: the
+    raster once (tile groupBy) + target pixels × the (2h/tile+1)²
+    neighbouring tiles they halo into — never an all-pairs matrix,
+    never a driver collect."""
+    h = int(np.ceil(max_dist))
+    px = grid.where(F.col("band") == band).select("x", "y", "value")
+    home = (
+        px.withColumn("_tx", (F.col("x") / tile).cast("long"))
+        .withColumn("_ty", (F.col("y") / tile).cast("long"))
+        .withColumn("_is_home", F.lit(True))
+    )
+    tgt = (
+        px.where(F.col("value") == target_value)
+        .withColumn("_tx", F.explode(F.sequence(
+            F.floor((F.col("x") - h) / F.lit(float(tile))).cast("long"),
+            F.floor((F.col("x") + h) / F.lit(float(tile))).cast("long"))))
+        .withColumn("_ty", F.explode(F.sequence(
+            F.floor((F.col("y") - h) / F.lit(float(tile))).cast("long"),
+            F.floor((F.col("y") + h) / F.lit(float(tile))).cast("long"))))
+        .withColumn("_is_home", F.lit(False))
+    )
+    both = home.unionByName(tgt)
+    tval, cap = target_value, max_dist
+    INF = 1.0e9
+
+    def _edt(key, pdf):
+        hm = pdf["_is_home"].to_numpy()
+        if not hm.any():  # halo-only tile outside the raster
+            return pd.DataFrame({"x": pd.array([], dtype="int64"),
+                                 "y": pd.array([], dtype="int64"),
+                                 "dist": pd.array([], dtype="float64")})
+        xs = pdf["x"].to_numpy(dtype=np.int64)
+        ys = pdf["y"].to_numpy(dtype=np.int64)
+        vs = pdf["value"].to_numpy(dtype=np.float64)
+        is_t = vs == tval
+        wx0, wy0 = xs.min(), ys.min()
+        Wd, Hd = int(xs.max() - wx0 + 1), int(ys.max() - wy0 + 1)
+        T = np.zeros((Hd, Wd), dtype=bool)
+        T[ys[is_t] - wy0, xs[is_t] - wx0] = True
+        # phase 1: exact 1D distance to nearest target along each row
+        g = np.where(T, 0.0, INF)
+        for i in range(1, Wd):
+            np.minimum(g[:, i], g[:, i - 1] + 1.0, out=g[:, i])
+        for i in range(Wd - 2, -1, -1):
+            np.minimum(g[:, i], g[:, i + 1] + 1.0, out=g[:, i])
+        g2 = g * g
+        # phase 2: min over row offsets within the halo bound
+        d2 = np.full((Hd, Wd), np.inf)
+        for dy in range(-h, h + 1):
+            if dy >= 0:
+                np.minimum(d2[dy:, :], g2[:Hd - dy, :] + float(dy * dy),
+                           out=d2[dy:, :])
+            else:
+                np.minimum(d2[:Hd + dy, :], g2[-dy:, :] + float(dy * dy),
+                           out=d2[:Hd + dy, :])
+        d = np.sqrt(d2)
+        hx, hy = xs[hm], ys[hm]
+        return pd.DataFrame({
+            "x": hx, "y": hy,
+            "dist": np.minimum(d[hy - wy0, hx - wx0], cap),
+        })
+
+    return both.groupBy("_tx", "_ty").applyInPandas(
+        _edt, schema="x BIGINT, y BIGINT, dist DOUBLE")
 
 
 def mosaic(tiles: DataFrame, how: str = "max",

@@ -181,6 +181,15 @@ def spatial_join(points: DataFrame, index: PolygonIndex, how: str = "inner",
         raise ValueError(f"join_how must be inner/left/right/left_semi, got {how}")
 
     spark = points.sparkSession
+    # Non-inner hows rejoin matches to the input. Tag every point with
+    # a temp unique id FIRST (the reference's own trick,
+    # vectorutils/__init__.py:1585) so the join-back key is one long —
+    # never the full payload columns (html/text would become shuffle
+    # keys, duplicate rows would fan out multiplicatively, and a NULL
+    # column would make the null-unsafe equi-join drop matched rows).
+    pt_id = "__sj_pt_id"
+    if how != "inner":
+        points = points.withColumn(pt_id, F.monotonically_increasing_id())
     cover = index.cover_df(spark)
     if len(index.cover_rows()) <= broadcast_max_cover:
         cover = F.broadcast(cover)
@@ -219,16 +228,22 @@ def spatial_join(points: DataFrame, index: PolygonIndex, how: str = "inner",
     if how == "inner":
         return matched
     if how == "left_semi":
-        key_cols = [c for c in points.columns]
-        return matched.select(*key_cols).dropDuplicates(key_cols)
+        # matched ids only — dedupes polygon fan-out without touching
+        # payload columns; LEFT SEMI keeps the probe side unshuffled
+        # wide (only the id survives to the join key)
+        hit_ids = matched.select(pt_id).dropDuplicates([pt_id])
+        return points.join(hit_ids, pt_id, "left_semi").drop(pt_id)
     if how == "right":
         ids = spark.createDataFrame(
             [(p["poly_id"],) for p in index.polys], "poly_id BIGINT")
-        return ids.join(matched.select(*points.columns, "poly_id"),
+        out_cols = [c for c in points.columns if c != pt_id]
+        return ids.join(matched.select(*out_cols, "poly_id"),
                         "poly_id", "left")
-    # left: keep unmatched points with null poly_id
-    return points.join(
-        matched.select(*points.columns, "poly_id"), points.columns, "left"
+    # left: keep unmatched points with null poly_id; join back on the
+    # single id key (matched side carries only id + poly_id)
+    return (
+        points.join(matched.select(pt_id, "poly_id"), pt_id, "left")
+        .drop(pt_id)
     )
 
 
@@ -252,12 +267,17 @@ def annotate_selection(points: DataFrame, index: PolygonIndex,
                        lat: str = "lat") -> DataFrame:
     """annotate_vec_selection semantics
     (vectorattrs/__init__.py:1158): boolean flag = point intersects
-    any polygon (left join + isNotNull)."""
-    matched = (
-        spatial_join(points, index, how="inner", lon=lon, lat=lat)
-        .select(*points.columns).dropDuplicates(points.columns)
+    any polygon. Implemented as a left-semi probe on a temp unique id
+    (never the payload columns — see spatial_join's pt_id note)."""
+    pt_id = "__sj_pt_id"
+    tagged = points.withColumn(pt_id, F.monotonically_increasing_id())
+    hit_ids = (
+        spatial_join(tagged, index, how="inner", lon=lon, lat=lat)
+        .select(pt_id).dropDuplicates([pt_id])
         .withColumn(flag_col, F.lit(True))
     )
-    return points.join(matched, points.columns, "left").withColumn(
-        flag_col, F.coalesce(F.col(flag_col), F.lit(False))
+    return (
+        tagged.join(hit_ids, pt_id, "left")
+        .withColumn(flag_col, F.coalesce(F.col(flag_col), F.lit(False)))
+        .drop(pt_id)
     )

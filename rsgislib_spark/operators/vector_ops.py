@@ -51,11 +51,57 @@ def drop_rows_by_attribute(df: DataFrame, col: str, values: list,
     return df.where(~cond)
 
 
+def dense_ids(df: DataFrame, cols: list, out_col: str) -> DataFrame:
+    """1..N dense ids over the distinct values of ``cols`` with NO
+    single-partition exchange anywhere in the plan.
+
+    ``dense_rank().over(Window.orderBy(col))`` moves the whole input
+    to ONE partition — the classic global-Window scale-killer. The
+    scalable idiom (two-pass histogram rank):
+
+    1. distinct values → repartitionByRange (ordered range partitions)
+    2. tiny per-partition histogram → driver cumsum → offset table
+    3. row_number WITHIN each range partition + broadcast offset
+
+    Returns (cols..., out_col) — broadcast-join it back to the input.
+    The distinct side is persisted so both passes see identical range
+    boundaries."""
+    spark = df.sparkSession
+    vals = (
+        df.select(*cols).distinct()
+        .repartitionByRange(*[F.col(c) for c in cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    hist = vals.groupBy("_pid").agg(F.count("*").alias("_n")).collect()
+    sizes = {int(r["_pid"]): int(r["_n"]) for r in hist}
+    offsets, run = [], 0
+    for pid in sorted(sizes):
+        offsets.append((pid, run))
+        run += sizes[pid]
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets or [(0, 0)], "_pid INT, _off BIGINT"))
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    return (
+        vals.withColumn("_rn", F.row_number().over(w))
+        .join(off_df, "_pid")
+        .withColumn(out_col, (F.col("_off") + F.col("_rn")).cast("int"))
+        .drop("_pid", "_rn", "_off")
+    )
+
+
 def add_unq_numeric_col(df: DataFrame, col: str,
                         out_col: str = "unq_id") -> DataFrame:
     """add_unq_numeric_col (vectorattrs/__init__.py:580): unique id
-    per distinct value of a column = dense_rank over value."""
-    return df.withColumn(out_col, F.dense_rank().over(Window.orderBy(col)))
+    per distinct value of a column. Ranks only the small distinct side
+    (dense_ids — no global Window over the full table) and
+    broadcast-joins the id map back; null values keep the dense_rank
+    semantics via a null-safe join key."""
+    ids = dense_ids(df, [col], out_col).withColumnRenamed(col, "_v")
+    return (
+        df.join(F.broadcast(ids), F.col(col).eqNullSafe(F.col("_v")))
+        .drop("_v")
+    )
 
 
 def add_fid_col(df: DataFrame, out_col: str = "fid") -> DataFrame:
