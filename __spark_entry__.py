@@ -1257,6 +1257,126 @@ pts AS (
 
 
 # ---------------------------------------------------------------------------
+# geometric overlay (vec_lyr_intersection_gp / _difference_gp,
+# vectorgeoms/__init__.py:1292,1344) — general scanline boolean overlay
+# run on axis-aligned integer fixtures so areas are integer-exact and
+# the DuckDB rectangle-algebra oracle matches bit-for-bit. The Spark
+# side runs the FULL general machinery (cell-join candidates + per-pair
+# trapezoid decomposition); only the oracle exploits rectangularity.
+# ---------------------------------------------------------------------------
+
+# layer A: one integer rectangle per nation row (coords in degrees so
+# the quadcell cover join operates in its native lon/lat domain)
+_OVL_A_EXPRS = [
+    "CAST(n_nationkey AS BIGINT) AS a_id",
+    "CAST((n_nationkey*48271)%80 AS DOUBLE) AS x0",
+    "CAST((n_nationkey*16807)%60 AS DOUBLE) AS y0",
+    "CAST(5+(n_nationkey*7919)%25 AS DOUBLE) AS w",
+    "CAST(5+(n_nationkey*104729)%20 AS DOUBLE) AS h",
+]
+# layer B: sparse deterministic subset of a 24x18 grid of 5-degree
+# tiles (disjoint — the oracle's per-pair sum equals the union area)
+_OVL_B_N = 432
+_OVL_B_KEEP = "({i}*2654435761)%100 < 40"
+
+_OVL_SQL_AB = """
+a AS (SELECT CAST(n_nationkey AS BIGINT) AS a_id,
+             CAST((n_nationkey*48271)%80 AS BIGINT) AS ax0,
+             CAST((n_nationkey*16807)%60 AS BIGINT) AS ay0,
+             CAST(5+(n_nationkey*7919)%25 AS BIGINT) AS aw,
+             CAST(5+(n_nationkey*104729)%20 AS BIGINT) AS ah
+      FROM nation),
+b AS (SELECT CAST(i AS BIGINT) AS b_id,
+             CAST((i%24)*5 AS BIGINT) AS bx0,
+             CAST((i - (i%24))/24*5 AS BIGINT) AS by0
+      FROM generate_series(0, 431) t(i)
+      WHERE (i*2654435761)%100 < 40)
+"""
+_OVL_INTER_AREA = ("(LEAST(ax0+aw, bx0+5) - GREATEST(ax0, bx0))"
+                   " * (LEAST(ay0+ah, by0+5) - GREATEST(ay0, by0))")
+_OVL_POS = ("LEAST(ax0+aw, bx0+5) > GREATEST(ax0, bx0)"
+            " AND LEAST(ay0+ah, by0+5) > GREATEST(ay0, by0)")
+
+
+def _rect_wkb_df(df: DataFrame, id_col: str) -> DataFrame:
+    """(id, x0, y0, w, h) → (id, geometry WKB rectangle)."""
+    import pandas as pd
+
+    from rsgislib_spark.geometry import wkb as wkb_codec
+
+    def gen(batches):
+        for pdf in batches:
+            geoms = []
+            for x0, y0, w, h in zip(pdf["x0"], pdf["y0"], pdf["w"],
+                                    pdf["h"]):
+                ring = [[x0, y0], [x0 + w, y0], [x0 + w, y0 + h],
+                        [x0, y0 + h]]
+                geoms.append(wkb_codec.polygon_to_wkb([ring]))
+            yield pd.DataFrame({id_col: pdf[id_col], "geometry": geoms})
+
+    return df.mapInPandas(gen, schema=f"{id_col} BIGINT, geometry BINARY")
+
+
+def _overlay_layers(spark: SparkSession, sf_dir: str):
+    a = _rect_wkb_df(
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .selectExpr(*_OVL_A_EXPRS),
+        "a_id",
+    )
+    b = _rect_wkb_df(
+        spark.range(_OVL_B_N)
+        .where(F.expr(_OVL_B_KEEP.format(i="id")))
+        .selectExpr(
+            "CAST(id AS BIGINT) AS b_id",
+            "CAST((id%24)*5 AS DOUBLE) AS x0",
+            "CAST((id DIV 24)*5 AS DOUBLE) AS y0",
+            "CAST(5 AS DOUBLE) AS w",
+            "CAST(5 AS DOUBLE) AS h",
+        ),
+        "b_id",
+    )
+    return a, b
+
+
+def q_overlay_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General polygon-x-polygon intersection overlay: one row per
+    overlapping pair with the exact piece-sum area."""
+    from rsgislib_spark.operators import overlay as ovl
+
+    a, b = _overlay_layers(spark, sf_dir)
+    return ovl.intersection(a, b, res=6).select("a_id", "b_id", "area")
+
+
+def q_overlay_intersection_sql() -> str:
+    return (
+        "WITH " + _OVL_SQL_AB
+        + f"SELECT a_id, b_id, CAST({_OVL_INTER_AREA} AS DOUBLE) AS area "
+        + f"FROM a JOIN b ON {_OVL_POS}"
+    )
+
+
+def q_overlay_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a minus the UNION of all overlapping b (general multi-clipper
+    difference; B is disjoint only so the oracle can subtract a sum)."""
+    from rsgislib_spark.operators import overlay as ovl
+
+    a, b = _overlay_layers(spark, sf_dir)
+    return ovl.difference(a, b, res=6).select("a_id", "area")
+
+
+def q_overlay_difference_sql() -> str:
+    return (
+        "WITH " + _OVL_SQL_AB
+        + ", inter AS (SELECT a_id, "
+        + f"SUM(CAST({_OVL_INTER_AREA} AS DOUBLE)) AS s "
+        + f"FROM a JOIN b ON {_OVL_POS} GROUP BY a_id) "
+        + "SELECT a.a_id AS a_id, CAST(aw*ah AS DOUBLE) - "
+        + "COALESCE(s, CAST(0 AS DOUBLE)) AS area "
+        + "FROM a LEFT JOIN inter ON a.a_id = inter.a_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -1315,6 +1435,9 @@ _REGISTRY: dict[str, tuple] = {
     "cosine_topk": (q_cosine_topk, q_cosine_topk_sql),
     "ivf_topk": (q_ivf_topk, None),
     "pages_pipeline": (q_pages_pipeline, q_pages_pipeline_sql),
+    # geometric overlay
+    "overlay_intersection": (q_overlay_intersection, q_overlay_intersection_sql),
+    "overlay_difference": (q_overlay_difference, q_overlay_difference_sql),
 }
 
 
