@@ -719,6 +719,34 @@ GROUP BY a.x, a.y
 """
 
 
+def q_focal_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """apply_gaussian_smooth_filter (imagefilter/__init__.py:700):
+    3x3 integer gaussian stencil / 16 on the halo'd-tile machinery.
+    Integer grid values x integer weights -> exact sums; /16 is a
+    power-of-two scale, so the gate is bit-exact (no ROUND needed)."""
+    from rsgislib_spark.operators import raster
+
+    grid = fixtures.grid_df(spark, bands=(1,))
+    return raster.focal_conv(grid, "gaussian3")
+
+
+def q_focal_conv_sql() -> str:
+    # separable weights: w = (2 if dx=0 else 1) * (2 if dy=0 else 1);
+    # missing neighbours simply lack join rows = contribute 0, same as
+    # the engine's zero-padding
+    return f"""
+WITH grid AS ({fixtures.GRID_DUCKDB_SQL})
+SELECT a.x, a.y,
+       SUM(b.value
+           * (CASE WHEN b.x = a.x THEN 2 ELSE 1 END)
+           * (CASE WHEN b.y = a.y THEN 2 ELSE 1 END))
+       / CAST(16 AS DOUBLE) AS conv
+FROM grid a JOIN grid b
+  ON b.x BETWEEN a.x - 1 AND a.x + 1 AND b.y BETWEEN a.y - 1 AND a.y + 1
+GROUP BY a.x, a.y
+"""
+
+
 def q_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """create_img_mosaic (imageutils.cpp:2095): overlapping tiles
     merged per-pixel (max rule)."""
@@ -812,6 +840,34 @@ def q_reproject_mercator_sql() -> str:
     return (f"WITH pts AS ({PTS_SQL}) SELECT pt_id, ROUND({xs}, 2) AS merc_x, "
             f"ROUND({ys}, 2) AS merc_y FROM pts "
             "WHERE lat > CAST(-85 AS DOUBLE) AND lat < CAST(85 AS DOUBLE)")
+
+
+def q_reproject_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reproj_wgs84_vec_to_utm (vectorutils/__init__.py:2430):
+    EPSG:4326 -> per-point UTM zone, ellipsoidal transverse-Mercator
+    Snyder series as shared SQL (crs.utm_sql). ROUND(,2): cm precision
+    vs ~1e-9 m cross-engine libm error."""
+    from rsgislib_spark.functions import crs
+
+    e, n, z = crs.utm_sql("lon", "lat")
+    return _points(spark, sf_dir).where(
+        "lat > CAST(-84 AS DOUBLE) AND lat < CAST(84 AS DOUBLE)"
+    ).selectExpr(
+        "pt_id", f"{z} AS utm_zone",
+        f"ROUND({e}, 2) AS easting", f"ROUND({n}, 2) AS northing",
+    )
+
+
+def q_reproject_utm_sql() -> str:
+    from rsgislib_spark.functions import crs
+
+    e, n, z = crs.utm_sql("lon", "lat")
+    return (
+        f"WITH pts AS ({PTS_SQL}) "
+        f"SELECT pt_id, {z} AS utm_zone, ROUND({e}, 2) AS easting, "
+        f"ROUND({n}, 2) AS northing FROM pts "
+        "WHERE lat > CAST(-84 AS DOUBLE) AND lat < CAST(84 AS DOUBLE)"
+    )
 
 
 def q_attr_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1414,11 +1470,13 @@ _REGISTRY: dict[str, tuple] = {
     "rasterize": (q_rasterize, q_rasterize_sql),
     "point_extract": (q_point_extract, q_point_extract_sql),
     "focal_mean": (q_focal_mean, q_focal_mean_sql),
+    "focal_conv": (q_focal_conv, q_focal_conv_sql),
     "mosaic": (q_mosaic, q_mosaic_sql),
     "grid_histogram": (q_grid_histogram, q_grid_histogram_sql),
     "band_percentile": (q_band_percentile, q_band_percentile_sql),
     "dist_to_value": (q_dist_to_value, q_dist_to_value_sql),
     "reproject_mercator": (q_reproject_mercator, q_reproject_mercator_sql),
+    "reproject_utm": (q_reproject_utm, q_reproject_utm_sql),
     "attr_knn": (q_attr_knn, q_attr_knn_sql),
     "trend_fit": (q_trend_fit, q_trend_fit_sql),
     "clump": (q_clump, None),

@@ -55,6 +55,98 @@ def inv_mercator_np(x: np.ndarray, y: np.ndarray) -> tuple:
     return lon, lat
 
 
+# ---------------------------------------------------------------- UTM
+# Ellipsoidal transverse Mercator, Snyder series (Map Projections — A
+# Working Manual, USGS PP 1395, eq. 8-9..8-13) — the public formulas
+# behind reproj_wgs84_vec_to_utm (vectorutils/__init__.py:2430, pyproj
+# under the hood). Sub-mm series accuracy inside a zone; shared-SQL so
+# Spark and DuckDB evaluate the identical expression tree (outputs are
+# ROUND(,2)-gated: SIN/COS differ by ulps between JVM and libm).
+WGS84_F = 1.0 / 298.257223563
+UTM_E2 = WGS84_F * (2.0 - WGS84_F)            # first eccentricity^2
+UTM_EP2 = UTM_E2 / (1.0 - UTM_E2)             # second eccentricity^2
+UTM_K0 = 0.9996
+
+# meridian-arc coefficients
+_M0 = 1.0 - UTM_E2 / 4.0 - 3.0 * UTM_E2**2 / 64.0 - 5.0 * UTM_E2**3 / 256.0
+_M2 = 3.0 * UTM_E2 / 8.0 + 3.0 * UTM_E2**2 / 32.0 + 45.0 * UTM_E2**3 / 1024.0
+_M4 = 15.0 * UTM_E2**2 / 256.0 + 45.0 * UTM_E2**3 / 1024.0
+_M6 = 35.0 * UTM_E2**3 / 3072.0
+
+
+def _d(v: float) -> str:
+    return f"CAST({v!r} AS DOUBLE)"
+
+
+def utm_zone_sql(lon: str) -> str:
+    """UTM zone number 1..60 from longitude (standard 6-degree bands)."""
+    return (f"CAST(FLOOR(({lon} + CAST(180 AS DOUBLE))"
+            f" / CAST(6 AS DOUBLE)) AS BIGINT) + 1")
+
+
+def utm_sql(lon: str, lat: str, zone: str | None = None) -> tuple:
+    """(easting, northing, zone) SQL fragments; lon/lat must be simple
+    column references (the series mentions them many times)."""
+    z = zone if zone is not None else utm_zone_sql(lon)
+    lam0 = f"(CAST({z} AS DOUBLE) * CAST(6 AS DOUBLE) - CAST(183 AS DOUBLE))"
+    p = f"RADIANS({lat})"
+    sinp, cosp, tanp = f"SIN({p})", f"COS({p})", f"TAN({p})"
+    nu = f"({_d(R_MAJOR)} / SQRT(CAST(1 AS DOUBLE) - {_d(UTM_E2)} * {sinp} * {sinp}))"
+    t = f"({tanp} * {tanp})"
+    c = f"({_d(UTM_EP2)} * {cosp} * {cosp})"
+    a = f"(RADIANS({lon} - {lam0}) * {cosp})"
+    m = (f"({_d(R_MAJOR)} * ({_d(_M0)} * {p} - {_d(_M2)} * SIN(CAST(2 AS DOUBLE) * {p})"
+         f" + {_d(_M4)} * SIN(CAST(4 AS DOUBLE) * {p})"
+         f" - {_d(_M6)} * SIN(CAST(6 AS DOUBLE) * {p})))")
+    easting = (
+        f"({_d(UTM_K0)} * {nu} * ({a}"
+        f" + (CAST(1 AS DOUBLE) - {t} + {c}) * {a}*{a}*{a} / CAST(6 AS DOUBLE)"
+        f" + (CAST(5 AS DOUBLE) - CAST(18 AS DOUBLE) * {t} + {t}*{t}"
+        f" + CAST(72 AS DOUBLE) * {c} - CAST(58 AS DOUBLE) * {_d(UTM_EP2)})"
+        f" * {a}*{a}*{a}*{a}*{a} / CAST(120 AS DOUBLE))"
+        f" + CAST(500000 AS DOUBLE))"
+    )
+    northing = (
+        f"({_d(UTM_K0)} * ({m} + {nu} * {tanp} * ({a}*{a} / CAST(2 AS DOUBLE)"
+        f" + (CAST(5 AS DOUBLE) - {t} + CAST(9 AS DOUBLE) * {c}"
+        f" + CAST(4 AS DOUBLE) * {c}*{c}) * {a}*{a}*{a}*{a} / CAST(24 AS DOUBLE)"
+        f" + (CAST(61 AS DOUBLE) - CAST(58 AS DOUBLE) * {t} + {t}*{t}"
+        f" + CAST(600 AS DOUBLE) * {c} - CAST(330 AS DOUBLE) * {_d(UTM_EP2)})"
+        f" * {a}*{a}*{a}*{a}*{a}*{a} / CAST(720 AS DOUBLE)))"
+        f" + (CASE WHEN {lat} < CAST(0 AS DOUBLE)"
+        f" THEN CAST(10000000 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END))"
+    )
+    return easting, northing, z
+
+
+def utm_np(lon: np.ndarray, lat: np.ndarray,
+           zone: np.ndarray | None = None) -> tuple:
+    """numpy mirror of utm_sql (same Snyder series)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    if zone is None:
+        zone = np.floor((lon + 180.0) / 6.0).astype(np.int64) + 1
+    lam0 = zone * 6.0 - 183.0
+    p = np.radians(lat)
+    sinp, cosp, tanp = np.sin(p), np.cos(p), np.tan(p)
+    nu = R_MAJOR / np.sqrt(1.0 - UTM_E2 * sinp * sinp)
+    t = tanp * tanp
+    c = UTM_EP2 * cosp * cosp
+    a = np.radians(lon - lam0) * cosp
+    m = R_MAJOR * (_M0 * p - _M2 * np.sin(2 * p) + _M4 * np.sin(4 * p)
+                   - _M6 * np.sin(6 * p))
+    easting = UTM_K0 * nu * (
+        a + (1.0 - t + c) * a**3 / 6.0
+        + (5.0 - 18.0 * t + t * t + 72.0 * c - 58.0 * UTM_EP2) * a**5 / 120.0
+    ) + 500000.0
+    northing = UTM_K0 * (m + nu * tanp * (
+        a * a / 2.0 + (5.0 - t + 9.0 * c + 4.0 * c * c) * a**4 / 24.0
+        + (61.0 - 58.0 * t + t * t + 600.0 * c - 330.0 * UTM_EP2)
+        * a**6 / 720.0
+    )) + np.where(lat < 0.0, 10000000.0, 0.0)
+    return easting, northing, zone
+
+
 def equirect_np(lon: np.ndarray, lat: np.ndarray, lat0: float = 0.0) -> tuple:
     """Plate-carrée with standard parallel lat0 — the quick local
     planar frame for small-area measures."""

@@ -108,6 +108,27 @@ def extract_point_values(points: DataFrame, grid: DataFrame,
 FOCAL_STATS = {"mean", "min", "max", "median", "stddev", "sum", "range", "total"}
 
 
+def _halo_tile_explode(grid: DataFrame, tile: int, h: int) -> DataFrame:
+    """Assign each pixel to its home tile plus any neighbour tile whose
+    halo (width h) it falls in — the reference's tile+overlap trick
+    (imageutils.cpp:2061) as an explode. Requires h < tile (each pixel
+    covers at most the 3x3 neighbouring tiles)."""
+    gx = (F.col("x") / tile).cast("long")
+    gy = (F.col("y") / tile).cast("long")
+    cand = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            tx = gx + dx
+            ty = gy + dy
+            cond = (
+                (F.col("x") >= tx * tile - h) & (F.col("x") < (tx + 1) * tile + h)
+                & (F.col("y") >= ty * tile - h) & (F.col("y") < (ty + 1) * tile + h)
+                & (tx >= 0) & (ty >= 0)
+            )
+            cand.append(F.when(cond, F.concat_ws("_", tx, ty)))
+    return grid.withColumn("_tile", F.explode(F.array_compact(F.array(*cand))))
+
+
 def focal_filter(grid: DataFrame, stat: str = "mean", k: int = 3,
                  tile: int = 64, width: int | None = None,
                  height: int | None = None) -> DataFrame:
@@ -125,25 +146,7 @@ def focal_filter(grid: DataFrame, stat: str = "mean", k: int = 3,
     if stat not in FOCAL_STATS:
         raise ValueError(f"stat must be one of {sorted(FOCAL_STATS)}")
     h = k // 2
-
-    # assign each pixel to its home tile plus any neighbour tile whose
-    # halo it falls in: explode over the (up to 4) covering tiles
-    gx = (F.col("x") / tile).cast("long")
-    gy = (F.col("y") / tile).cast("long")
-    cand = []
-    for dx in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            tx = gx + dx
-            ty = gy + dy
-            # pixel is in tile (tx,ty)'s halo'd window?
-            cond = (
-                (F.col("x") >= tx * tile - h) & (F.col("x") < (tx + 1) * tile + h)
-                & (F.col("y") >= ty * tile - h) & (F.col("y") < (ty + 1) * tile + h)
-                & (tx >= 0) & (ty >= 0)
-            )
-            cand.append(F.when(cond, F.concat_ws("_", tx, ty)))
-    exploded = grid.withColumn("_tile", F.explode(F.array_compact(F.array(*cand))))
-
+    exploded = _halo_tile_explode(grid, tile, h)
     stat_name = stat
 
     def _focal(key, pdf):
@@ -190,6 +193,161 @@ def focal_filter(grid: DataFrame, stat: str = "mean", k: int = 3,
 
     return exploded.groupBy("_tile").applyInPandas(
         _focal, schema="x BIGINT, y BIGINT, focal DOUBLE")
+
+
+# Named kernels of the reference's linear filters
+# (imagefilter/__init__.py:602-951): integer stencils + a power-of-two
+# divisor keep integer-valued rasters exact in IEEE doubles.
+KERNELS: dict = {
+    "sobel_x": (np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], float), 1.0),
+    "sobel_y": (np.array([[-1, -2, -1], [0, 0, 0], [1, 2, 1]], float), 1.0),
+    "prewitt_x": (np.array([[-1, 0, 1], [-1, 0, 1], [-1, 0, 1]], float), 1.0),
+    "prewitt_y": (np.array([[-1, -1, -1], [0, 0, 0], [1, 1, 1]], float), 1.0),
+    "laplacian": (np.array([[0, 1, 0], [1, -4, 1], [0, 1, 0]], float), 1.0),
+    "gaussian3": (np.array([[1, 2, 1], [2, 4, 2], [1, 2, 1]], float), 16.0),
+    "gaussian5": (np.array([
+        [1, 4, 6, 4, 1], [4, 16, 24, 16, 4], [6, 24, 36, 24, 6],
+        [4, 16, 24, 16, 4], [1, 4, 6, 4, 1]], float), 256.0),
+    "sharpen": (np.array([[0, -1, 0], [-1, 5, -1], [0, -1, 0]], float), 1.0),
+}
+
+
+def focal_conv(grid: DataFrame, kernel, divisor: float | None = None,
+               tile: int = 64) -> DataFrame:
+    """k x k linear convolution (apply_sobel_filter / _gaussian_ /
+    _laplacian_ etc., imagefilter/__init__.py:602-951) on the halo'd
+    tile machinery. Missing / off-raster pixels contribute 0 (the
+    join-omits-rows semantics of the SQL oracle). kernel: a name from
+    KERNELS or a (k,k) array; divisor divides the stencil sum."""
+    if isinstance(kernel, str):
+        kern, div = KERNELS[kernel]
+    else:
+        kern, div = np.asarray(kernel, dtype=np.float64), 1.0
+    if divisor is not None:
+        div = float(divisor)
+    k = kern.shape[0]
+    if kern.shape != (k, k) or k % 2 != 1:
+        raise ValueError("kernel must be square with odd size")
+    h = k // 2
+    exploded = _halo_tile_explode(grid, tile, h)
+
+    def _conv(key, pdf):
+        xs = pdf["x"].to_numpy()
+        ys = pdf["y"].to_numpy()
+        vs = pdf["value"].to_numpy(dtype=np.float64)
+        tx, ty = (int(t) for t in key[0].split("_"))
+        x0, x1 = tx * tile, (tx + 1) * tile
+        y0, y1 = ty * tile, (ty + 1) * tile
+        wx0, wy0 = xs.min(), ys.min()
+        W = np.zeros((ys.max() - wy0 + 1, xs.max() - wx0 + 1))
+        W[ys - wy0, xs - wx0] = vs
+        home = (xs >= x0) & (xs < x1) & (ys >= y0) & (ys < y1)
+        hx, hy = xs[home], ys[home]
+        if len(hx) == 0:
+            return pd.DataFrame({"x": pd.array([], dtype="int64"),
+                                 "y": pd.array([], dtype="int64"),
+                                 "conv": pd.array([], dtype="float64")})
+        P = np.pad(W, h, constant_values=0.0)
+        wins = np.lib.stride_tricks.sliding_window_view(P, (k, k))
+        sel = wins[hy - wy0, hx - wx0]
+        out = np.einsum("nij,ij->n", sel, kern) / div
+        return pd.DataFrame({"x": hx, "y": hy, "conv": out})
+
+    return exploded.groupBy("_tile").applyInPandas(
+        _conv, schema="x BIGINT, y BIGINT, conv DOUBLE")
+
+
+def _window_mean_var(key, pdf, tile: int, k: int):
+    """Shared per-tile window mean/variance arrays for the adaptive
+    filters; returns (hx, hy, center, mean, var) over home pixels.
+    Windows truncate at raster edges (NaN-pad + nan-reductions)."""
+    h = k // 2
+    xs = pdf["x"].to_numpy()
+    ys = pdf["y"].to_numpy()
+    vs = pdf["value"].to_numpy(dtype=np.float64)
+    tx, ty = (int(t) for t in key[0].split("_"))
+    x0, x1 = tx * tile, (tx + 1) * tile
+    y0, y1 = ty * tile, (ty + 1) * tile
+    wx0, wy0 = xs.min(), ys.min()
+    W = np.full((ys.max() - wy0 + 1, xs.max() - wx0 + 1), np.nan)
+    W[ys - wy0, xs - wx0] = vs
+    home = (xs >= x0) & (xs < x1) & (ys >= y0) & (ys < y1)
+    hx, hy = xs[home], ys[home]
+    if len(hx) == 0:
+        return hx, hy, None, None, None
+    P = np.pad(W, h, constant_values=np.nan)
+    wins = np.lib.stride_tricks.sliding_window_view(P, (k, k))
+    sel = wins[hy - wy0, hx - wx0].reshape(len(hx), -1)
+    with np.errstate(all="ignore"):
+        m = np.nanmean(sel, axis=1)
+        v = np.nanvar(sel, axis=1)
+    center = W[hy - wy0, hx - wx0]
+    return hx, hy, center, m, v
+
+
+def lee_filter(grid: DataFrame, k: int = 3, noise_var: float = 1.0,
+               tile: int = 64) -> DataFrame:
+    """Lee adaptive speckle filter (apply_lee_filter,
+    imagefilter/__init__.py:915): out = m + v/(v+noise) * (x - m) with
+    window mean m / variance v."""
+    def _lee(key, pdf):
+        hx, hy, x, m, v = _window_mean_var(key, pdf, tile, k)
+        if len(hx) == 0:
+            return pd.DataFrame({"x": pd.array([], dtype="int64"),
+                                 "y": pd.array([], dtype="int64"),
+                                 "lee": pd.array([], dtype="float64")})
+        w = v / (v + noise_var)
+        return pd.DataFrame({"x": hx, "y": hy, "lee": m + w * (x - m)})
+
+    return _halo_tile_explode(grid, tile, k // 2).groupBy("_tile") \
+        .applyInPandas(_lee, schema="x BIGINT, y BIGINT, lee DOUBLE")
+
+
+def kuwahara_filter(grid: DataFrame, k: int = 5, tile: int = 64) -> DataFrame:
+    """Kuwahara edge-preserving filter (apply_kuwahara_filter,
+    imagefilter/__init__.py:951): mean of the least-variance quadrant
+    of the k x k window (quadrants of size (k+1)/2; deterministic
+    NW-NE-SW-SE tie order)."""
+    if k % 2 != 1:
+        raise ValueError("k must be odd")
+    h = k // 2
+    q = h + 1  # quadrant side
+
+    def _kuw(key, pdf):
+        xs = pdf["x"].to_numpy()
+        ys = pdf["y"].to_numpy()
+        vs = pdf["value"].to_numpy(dtype=np.float64)
+        tx, ty = (int(t) for t in key[0].split("_"))
+        x0, x1 = tx * tile, (tx + 1) * tile
+        y0, y1 = ty * tile, (ty + 1) * tile
+        wx0, wy0 = xs.min(), ys.min()
+        W = np.full((ys.max() - wy0 + 1, xs.max() - wx0 + 1), np.nan)
+        W[ys - wy0, xs - wx0] = vs
+        home = (xs >= x0) & (xs < x1) & (ys >= y0) & (ys < y1)
+        hx, hy = xs[home], ys[home]
+        if len(hx) == 0:
+            return pd.DataFrame({"x": pd.array([], dtype="int64"),
+                                 "y": pd.array([], dtype="int64"),
+                                 "kuwahara": pd.array([], dtype="float64")})
+        P = np.pad(W, h, constant_values=np.nan)
+        wins = np.lib.stride_tricks.sliding_window_view(P, (q, q))
+        # quadrant top-left offsets relative to the padded array for a
+        # home pixel at (r, c) in W: NW=(r,c), NE=(r,c+h), SW=(r+h,c),
+        # SE=(r+h,c+h) — each quadrant includes the center row/col
+        r, c = hy - wy0, hx - wx0
+        means = np.empty((4, len(hx)))
+        varis = np.empty((4, len(hx)))
+        with np.errstate(all="ignore"):
+            for i, (dr, dc) in enumerate(((0, 0), (0, h), (h, 0), (h, h))):
+                sel = wins[r + dr, c + dc].reshape(len(hx), -1)
+                means[i] = np.nanmean(sel, axis=1)
+                varis[i] = np.nanvar(sel, axis=1)
+        best = np.argmin(varis, axis=0)  # first minimum = NW-NE-SW-SE
+        out = means[best, np.arange(len(hx))]
+        return pd.DataFrame({"x": hx, "y": hy, "kuwahara": out})
+
+    return _halo_tile_explode(grid, tile, h).groupBy("_tile") \
+        .applyInPandas(_kuw, schema="x BIGINT, y BIGINT, kuwahara DOUBLE")
 
 
 def distance_to_value(grid: DataFrame, target_value: float, band: int = 1,

@@ -111,3 +111,61 @@ def test_histogram_counts_sum(spark, grid):
 def test_band_percentile_exact(spark, grid, value_mat):
     got = raster.band_percentile(grid, 1, 0.5).collect()[0].pct_val
     assert got == pytest.approx(np.percentile(value_mat, 50), abs=1e-9)
+
+
+def test_focal_conv_sobel_matches_numpy(spark, grid, value_mat):
+    got = {(r.x, r.y): r.conv for r in
+           raster.focal_conv(grid, "sobel_x", tile=64).collect()}
+    V = value_mat
+    kern = raster.KERNELS["sobel_x"][0]
+    P = np.pad(V, 1, constant_values=0.0)  # zero-pad edge semantics
+    for (x, y) in [(0, 0), (5, 5), (63, 63), (64, 64), (127, 127),
+                   (0, 127), (63, 0), (65, 127), (31, 96)]:
+        want = float((P[y:y + 3, x:x + 3] * kern).sum())
+        assert got[(x, y)] == pytest.approx(want, abs=1e-9), (x, y)
+
+
+def test_focal_conv_gaussian_tiling_invariance(spark, grid):
+    a = {(r.x, r.y): r.conv for r in
+         raster.focal_conv(grid, "gaussian3", tile=64).collect()}
+    b = {(r.x, r.y): r.conv for r in
+         raster.focal_conv(grid, "gaussian3", tile=37).collect()}
+    assert a == b  # exact: integer sums / 2^4
+
+
+def test_lee_filter_matches_numpy(spark, grid, value_mat):
+    got = {(r.x, r.y): r.lee for r in
+           raster.lee_filter(grid, k=3, noise_var=2.0, tile=64).collect()}
+    V = value_mat
+    for (x, y) in [(5, 5), (64, 64), (0, 0), (127, 127)]:
+        win = V[max(y - 1, 0):y + 2, max(x - 1, 0):x + 2]
+        m, v = win.mean(), win.var()
+        want = m + v / (v + 2.0) * (V[y, x] - m)
+        assert got[(x, y)] == pytest.approx(want, rel=1e-12), (x, y)
+
+
+def test_kuwahara_matches_numpy(spark, grid, value_mat):
+    got = {(r.x, r.y): r.kuwahara for r in
+           raster.kuwahara_filter(grid, k=5, tile=64).collect()}
+    V = value_mat
+    P = np.pad(V.astype(float), 2, constant_values=np.nan)
+    for (x, y) in [(10, 10), (64, 64), (2, 2), (120, 3), (63, 64)]:
+        r, c = y + 2, x + 2  # padded coords of center
+        quads = [P[r - 2:r + 1, c - 2:c + 1], P[r - 2:r + 1, c:c + 3],
+                 P[r:r + 3, c - 2:c + 1], P[r:r + 3, c:c + 3]]
+        ms = [np.nanmean(q) for q in quads]
+        vs = [np.nanvar(q) for q in quads]
+        want = ms[int(np.argmin(vs))]
+        assert got[(x, y)] == pytest.approx(want, rel=1e-12), (x, y)
+
+
+def test_distance_dense_matches_sparse_and_never_collects(spark, grid):
+    # dense path (distributed EDT) == sparse path (broadcast argmin),
+    # both capped; the dense path never touches the driver
+    sparse = {(r.x, r.y): r.dist for r in raster.distance_to_value(
+        grid, target_value=3.0, max_dist=9.0).collect()}
+    dense = {(r.x, r.y): r.dist for r in raster.distance_to_value(
+        grid, target_value=3.0, max_dist=9.0, dense=True, tile=32).collect()}
+    assert set(sparse) == set(dense)
+    for key in sparse:
+        assert dense[key] == pytest.approx(sparse[key], abs=1e-9), key
