@@ -950,15 +950,49 @@ SELECT user_id, ROUND(slope, 6) AS slope,
 
 def q_clump(spark: SparkSession, sf_dir: str) -> DataFrame:
     """clump (segmentation.cpp:685) + tiled border merge
-    (tiledclump.py:133): distributed 4-connected components (rows-only
-    gate; BFS-oracle + tiling-invariance asserted in pytest)."""
+    (tiledclump.py:133): distributed 4-connected components.
+
+    Fixture: checkerboard of 5x5 blocks — components straddle the
+    64-pixel tile borders (the border-merge path is exercised) but
+    stay small enough for the DuckDB recursive-CTE transitive-closure
+    oracle (~410k closure rows). clump_id = min pixel id
+    (y*2^32 + x) of the component, identical on both sides."""
     from rsgislib_spark.operators import clump as clump_ops
 
     grid = fixtures.grid_df(spark, bands=(1,)).withColumn(
-        "value",
-        F.expr("CAST(CAST(FLOOR(CAST(x AS DOUBLE) / CAST(16 AS DOUBLE)) AS BIGINT)"
-               " % 2 AS DOUBLE)"))
+        "value", F.expr("CAST(((x DIV 5) + (y DIV 5)) % 2 AS DOUBLE)"))
     return clump_ops.clump(grid, tile=64)
+
+
+def q_clump_sql() -> str:
+    return f"""
+WITH RECURSIVE px AS (
+  SELECT CAST(a.i AS BIGINT) AS x, CAST(b.i AS BIGINT) AS y,
+         CAST(((a.i - (a.i%5))/5 + (b.i - (b.i%5))/5) % 2 AS DOUBLE) AS value,
+         CAST(b.i AS BIGINT)*4294967296 + CAST(a.i AS BIGINT) AS id
+  FROM generate_series(0, {fixtures.GRID_W - 1}) a(i),
+       generate_series(0, {fixtures.GRID_H - 1}) b(i)),
+edges AS (
+  SELECT p.x AS x1, p.y AS y1, q.x AS x2, q.y AS y2
+  FROM px p JOIN px q ON q.value = p.value AND q.y = p.y AND q.x = p.x + 1
+  UNION ALL
+  SELECT q.x, q.y, p.x, p.y
+  FROM px p JOIN px q ON q.value = p.value AND q.y = p.y AND q.x = p.x + 1
+  UNION ALL
+  SELECT p.x, p.y, q.x, q.y
+  FROM px p JOIN px q ON q.value = p.value AND q.x = p.x AND q.y = p.y + 1
+  UNION ALL
+  SELECT q.x, q.y, p.x, p.y
+  FROM px p JOIN px q ON q.value = p.value AND q.x = p.x AND q.y = p.y + 1),
+reach AS (
+  SELECT x, y, id AS lbl FROM px
+  UNION
+  SELECT e.x2, e.y2, r.lbl FROM reach r JOIN edges e ON e.x1 = r.x AND e.y1 = r.y
+)
+SELECT p.x, p.y, p.value, m.clump_id
+FROM (SELECT x, y, MIN(lbl) AS clump_id FROM reach GROUP BY x, y) m
+JOIN px p ON p.x = m.x AND p.y = m.y
+"""
 
 
 def _grid2_pairs_sql() -> str:
@@ -1432,6 +1466,30 @@ def q_overlay_difference_sql() -> str:
     )
 
 
+def q_dissolve_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dissolve (vectorgeoms/__init__.py:3585): per group, geometric
+    UNION of the group's polygons. Fixture: two OVERLAPPING integer
+    rectangles per nation (second shifted +3 in x), so the scanline
+    union must count the overlap once — area = (w+3)*h exactly."""
+    from rsgislib_spark.operators import vector_geom
+
+    base = spark.read.parquet(f"{sf_dir}/nation.parquet").selectExpr(
+        *_OVL_A_EXPRS)
+    r1 = _rect_wkb_df(base, "a_id")
+    r2 = _rect_wkb_df(
+        base.withColumn("x0", F.col("x0") + F.lit(3.0)), "a_id")
+    layer = r1.unionByName(r2).withColumnRenamed("a_id", "grp")
+    return vector_geom.dissolve(layer, by="grp").select("grp", "area")
+
+
+def q_dissolve_union_sql() -> str:
+    return (
+        "SELECT CAST(n_nationkey AS BIGINT) AS grp, "
+        "CAST((5+(n_nationkey*7919)%25 + 3)"
+        " * (5+(n_nationkey*104729)%20) AS DOUBLE) AS area FROM nation"
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -1479,7 +1537,7 @@ _REGISTRY: dict[str, tuple] = {
     "reproject_utm": (q_reproject_utm, q_reproject_utm_sql),
     "attr_knn": (q_attr_knn, q_attr_knn_sql),
     "trend_fit": (q_trend_fit, q_trend_fit_sql),
-    "clump": (q_clump, None),
+    "clump": (q_clump, q_clump_sql),
     "img_correlation": (q_img_correlation, q_img_correlation_sql),
     "mutual_info": (q_mutual_info, q_mutual_info_sql),
     "emd": (q_emd, q_emd_sql),
@@ -1496,6 +1554,7 @@ _REGISTRY: dict[str, tuple] = {
     # geometric overlay
     "overlay_intersection": (q_overlay_intersection, q_overlay_intersection_sql),
     "overlay_difference": (q_overlay_difference, q_overlay_difference_sql),
+    "dissolve_union": (q_dissolve_union, q_dissolve_union_sql),
 }
 
 

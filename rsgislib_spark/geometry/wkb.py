@@ -96,6 +96,29 @@ def wkb_to_rings(wkb: bytes) -> list:
     raise ValueError(f"unsupported WKB geometry type {gtype}")
 
 
+def wkb_to_polygons(wkb: bytes) -> list:
+    """Structured decode: list of POLYGONS (each a list of rings,
+    shell first) — unlike wkb_to_rings, MultiPolygon structure is
+    preserved (needed by explode / hole-removal / per-polygon-parity
+    overlay)."""
+    buf = memoryview(wkb)
+    byte_order, gtype = struct.unpack_from("<BI", buf, 0)
+    if byte_order != 1:
+        raise ValueError("only little-endian WKB supported")
+    if gtype == WKB_POLYGON:
+        rings, _ = _read_polygon(buf, 0)
+        return [rings]
+    if gtype == WKB_MULTIPOLYGON:
+        (npolys,) = struct.unpack_from("<I", buf, 5)
+        off = 9
+        polys = []
+        for _ in range(npolys):
+            pr, off = _read_polygon(buf, off)
+            polys.append(pr)
+        return polys
+    raise ValueError(f"unsupported WKB geometry type {gtype}")
+
+
 def wkb_to_point(wkb: bytes) -> tuple:
     byte_order, gtype = struct.unpack_from("<BI", wkb, 0)
     if gtype != WKB_POINT:

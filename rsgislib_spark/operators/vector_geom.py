@@ -60,3 +60,136 @@ def add_geom_stats(df: DataFrame, geom_col: str = "geometry") -> DataFrame:
             yield out
 
     return df.mapInPandas(_stats, schema=out_schema)
+
+
+def explode_multipolygon(df: DataFrame, geom_col: str = "geometry",
+                         part_col: str = "part_id") -> DataFrame:
+    """explode_vec_lyr / multi->single (vectorgeoms/__init__.py:1831):
+    one output row per polygon part of a MultiPolygon, part_id 0..n-1.
+    Pure mapInPandas — no shuffle."""
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                           for f in df.schema.fields)
+    out_schema += f", {part_col} INT"
+    cols = df.columns
+
+    def _explode(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                polys = wkb.wkb_to_polygons(bytes(row[geom_col]))
+                for i, rings in enumerate(polys):
+                    r = row.copy()
+                    r[geom_col] = wkb.polygon_to_wkb(rings)
+                    rows.append(list(r[cols]) + [i])
+            yield pd.DataFrame(rows, columns=cols + [part_col])
+
+    return df.mapInPandas(_explode, schema=out_schema)
+
+
+def drop_holes(df: DataFrame, geom_col: str = "geometry",
+               area_thres: float | None = None) -> DataFrame:
+    """remove_polygon_holes (vectorgeoms/__init__.py:2041): strip
+    interior rings (optionally only holes below area_thres)."""
+    def _fix(batches):
+        for pdf in batches:
+            out = pdf.copy()
+            fixed = []
+            for blob in pdf[geom_col]:
+                polys = wkb.wkb_to_polygons(bytes(blob))
+                new = []
+                for rings in polys:
+                    if area_thres is None:
+                        new.append(rings[:1])
+                    else:
+                        keep = [rings[0]] + [
+                            h for h in rings[1:]
+                            if abs(predicates.shoelace_area([h])) >= area_thres
+                        ]
+                        new.append(keep)
+                fixed.append(wkb.multipolygon_to_wkb(new) if len(new) > 1
+                             else wkb.polygon_to_wkb(new[0]))
+            out[geom_col] = fixed
+            yield out
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+    return df.mapInPandas(_fix, schema=schema)
+
+
+def simplify(df: DataFrame, tol: float,
+             geom_col: str = "geometry") -> DataFrame:
+    """vec_lyr_simplify (vectorgeoms/__init__.py:1953): Douglas-Peucker
+    per ring (geometry/edit.py); empty-collapsed geometries dropped."""
+    from ..geometry import edit
+
+    def _simp(batches):
+        for pdf in batches:
+            keep_rows, fixed = [], []
+            for idx, blob in enumerate(pdf[geom_col]):
+                polys = wkb.wkb_to_polygons(bytes(blob))
+                new = [edit.simplify_polygon(rings, tol) for rings in polys]
+                new = [p for p in new if p]
+                if not new:
+                    continue
+                keep_rows.append(idx)
+                fixed.append(wkb.multipolygon_to_wkb(new) if len(new) > 1
+                             else wkb.polygon_to_wkb(new[0]))
+            out = pdf.iloc[keep_rows].copy()
+            out[geom_col] = fixed
+            yield out
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+    return df.mapInPandas(_simp, schema=schema)
+
+
+def buffer_polygons(df: DataFrame, dist: float, k: int = 16,
+                    geom_col: str = "geometry") -> DataFrame:
+    """buffer_vec_geoms (vectorgeoms/__init__.py:3276): positive
+    Minkowski-disk buffer per row (geometry/edit.buffer_polygon);
+    adds buf_area and replaces the geometry with the piece partition."""
+    from ..geometry import edit
+
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                           for f in df.schema.fields)
+    out_schema += ", buf_area DOUBLE"
+
+    def _buf(batches):
+        for pdf in batches:
+            out = pdf.copy()
+            geoms, areas = [], []
+            for blob in pdf[geom_col]:
+                rings = wkb.wkb_to_rings(bytes(blob))
+                pieces, area = edit.buffer_polygon(rings, dist, k)
+                geoms.append(wkb.multipolygon_to_wkb([[p] for p in pieces]))
+                areas.append(area)
+            out[geom_col] = geoms
+            out["buf_area"] = areas
+            yield out
+
+    return df.mapInPandas(_buf, schema=out_schema)
+
+
+def dissolve(df: DataFrame, by: str, geom_col: str = "geometry") -> DataFrame:
+    """dissolve_vector (vectorgeoms/__init__.py:3585, geopandas
+    dissolve): per attribute value, the geometric UNION of the group's
+    polygons (scanline boolean union — overlaps counted once).
+    Output: (by, area, n_pieces, geometry as piece MultiPolygon WKB).
+    One groupBy shuffle; each group unions locally in numpy."""
+    from ..geometry import overlay as boolean
+
+    def _diss(key, pdf):
+        polys = [wkb.wkb_to_rings(bytes(b)) for b in pdf[geom_col]]
+        pieces, area = boolean.boolean_pieces(polys, [], "union")
+        return pd.DataFrame(
+            [(key[0], area, len(pieces),
+              wkb.multipolygon_to_wkb([[p] for p in pieces]) if pieces
+              else None)],
+            columns=[by, "area", "n_pieces", "geometry"])
+
+    by_type = dict(zip(df.columns,
+                       [f.dataType.simpleString() for f in df.schema.fields]))
+    return df.select(by, geom_col).groupBy(by).applyInPandas(
+        _diss,
+        schema=(f"{by} {by_type[by]}, area DOUBLE, n_pieces INT, "
+                "geometry BINARY"))
