@@ -964,8 +964,38 @@ def q_clump(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clump_ops.clump(grid, tile=64)
 
 
+def q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """polygonise_raster_to_vec_lyr (vectorutils/createvectors.py:
+    25-122): clump + per-component boundary tracing. Gate checks the
+    polygon AREA per component == its pixel count (shoelace of the
+    traced rings, holes subtracted) — bit-exact integers."""
+    from rsgislib_spark.operators import polygonize as poly_ops
+
+    grid = fixtures.grid_df(spark, bands=(1,)).withColumn(
+        "value", F.expr("CAST(((x DIV 5) + (y DIV 5)) % 2 AS DOUBLE)"))
+    return poly_ops.polygonize(grid, tile=64).select(
+        "clump_id", "value", "area")
+
+
+def q_polygonize_sql() -> str:
+    return (_CLUMP_CLOSURE_SQL
+            + " SELECT m.clump_id, p.value, CAST(COUNT(*) AS DOUBLE) AS area"
+            + " FROM (SELECT x, y, MIN(lbl) AS clump_id FROM reach"
+            + " GROUP BY x, y) m JOIN px p ON p.x = m.x AND p.y = m.y"
+            + " GROUP BY m.clump_id, p.value")
+
+
 def q_clump_sql() -> str:
-    return f"""
+    return (_CLUMP_CLOSURE_SQL
+            + " SELECT p.x, p.y, p.value, m.clump_id"
+            + " FROM (SELECT x, y, MIN(lbl) AS clump_id FROM reach"
+            + " GROUP BY x, y) m JOIN px p ON p.x = m.x AND p.y = m.y")
+
+
+# shared DuckDB transitive-closure CC (the clump/polygonize oracle):
+# px = the checkerboard fixture, edges = equi-join 4-adjacency (both
+# directions), reach = semi-naive label closure
+_CLUMP_CLOSURE_SQL = f"""
 WITH RECURSIVE px AS (
   SELECT CAST(a.i AS BIGINT) AS x, CAST(b.i AS BIGINT) AS y,
          CAST(((a.i - (a.i%5))/5 + (b.i - (b.i%5))/5) % 2 AS DOUBLE) AS value,
@@ -989,9 +1019,6 @@ reach AS (
   UNION
   SELECT e.x2, e.y2, r.lbl FROM reach r JOIN edges e ON e.x1 = r.x AND e.y1 = r.y
 )
-SELECT p.x, p.y, p.value, m.clump_id
-FROM (SELECT x, y, MIN(lbl) AS clump_id FROM reach GROUP BY x, y) m
-JOIN px p ON p.x = m.x AND p.y = m.y
 """
 
 
@@ -1538,6 +1565,7 @@ _REGISTRY: dict[str, tuple] = {
     "attr_knn": (q_attr_knn, q_attr_knn_sql),
     "trend_fit": (q_trend_fit, q_trend_fit_sql),
     "clump": (q_clump, q_clump_sql),
+    "polygonize": (q_polygonize, q_polygonize_sql),
     "img_correlation": (q_img_correlation, q_img_correlation_sql),
     "mutual_info": (q_mutual_info, q_mutual_info_sql),
     "emd": (q_emd, q_emd_sql),
