@@ -76,7 +76,8 @@ def checkpointed_write(df: DataFrame, path: str, cell_col: str,
     Returns {written: n_tiles, skipped: n_tiles, rows: n}.
     """
     fp = lineage_fingerprint(df, extra_lineage)
-    done = committed_tiles(path, fp)
+    manifest = read_manifest(path)
+    done = {t for t, e in manifest.items() if e.get("lineage") == fp}
     todo = df
     if done:
         spark = df.sparkSession
@@ -84,27 +85,66 @@ def checkpointed_write(df: DataFrame, path: str, cell_col: str,
             [(int(t),) for t in done], f"{cell_col} BIGINT")
         todo = df.join(F.broadcast(done_df), cell_col, "left_anti")
 
-    counts = {
-        r[0]: r[1]
-        for r in todo.groupBy(cell_col).agg(F.count("*").alias("n")).collect()
+    # persist todo so the manifest counts and the write are ONE
+    # materialization — a non-deterministic input can't make them
+    # disagree (the counts ARE the written rows)
+    todo = todo.persist()
+    try:
+        counts = {
+            r[0]: r[1]
+            for r in todo.groupBy(cell_col).agg(F.count("*").alias("n"))
+            .collect()
+        }
+        if counts:
+            (
+                todo.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(cell_col)
+                .parquet(path)
+            )
+    finally:
+        todo.unpersist()
+
+    # this plan's full tile set; anything else on disk is a partition
+    # left behind by a superseded lineage — prune it so reads of the
+    # output path never mix stale tiles after a plan change
+    produced = {int(t) for t in done} | {int(t) for t in counts}
+    pruned = 0
+    if os.path.isdir(path):
+        import shutil
+
+        prefix = f"{cell_col}="
+        for entry in os.listdir(path):
+            if not entry.startswith(prefix):
+                continue
+            try:
+                tile = int(entry[len(prefix):])
+            except ValueError:
+                continue
+            if tile not in produced:
+                shutil.rmtree(os.path.join(path, entry))
+                pruned += 1
+
+    # rewrite the manifest atomically: fresh entries for this run's
+    # tiles, prior entries kept only for still-valid committed tiles
+    ts = time.time()
+    os.makedirs(path, exist_ok=True)
+    entries = {
+        int(t): manifest[t] for t in done if int(t) in produced
     }
-    if counts:
-        (
-            todo.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(cell_col)
-            .parquet(path)
-        )
-        ts = time.time()
-        os.makedirs(path, exist_ok=True)
-        with open(os.path.join(path, MANIFEST_NAME), "a") as f:
-            for tile, n in sorted(counts.items()):
-                f.write(json.dumps(
-                    {"tile": int(tile), "rows": int(n), "lineage": fp,
-                     "ts": ts}) + "\n")
+    for tile, n in counts.items():
+        entries[int(tile)] = {"tile": int(tile), "rows": int(n),
+                              "lineage": fp, "ts": ts}
+    tmp = os.path.join(path, MANIFEST_NAME + ".tmp")
+    with open(tmp, "w") as f:
+        for tile in sorted(entries):
+            f.write(json.dumps(entries[tile]) + "\n")
+    os.replace(tmp, os.path.join(path, MANIFEST_NAME))
+
     return {
         "written": len(counts),
         "skipped": len(done),
+        "pruned": pruned,
         "rows": int(sum(counts.values())),
         "lineage": fp,
     }

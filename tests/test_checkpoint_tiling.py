@@ -86,3 +86,28 @@ def test_manifest_contents(spark, assigned, tmp_path):
     assert len(mf) == r["written"]
     assert sum(e["rows"] for e in mf.values()) == df.count()
     assert os.path.exists(os.path.join(path, checkpoint.MANIFEST_NAME))
+
+
+def test_checkpointed_write_prunes_stale_partitions(spark, assigned, tmp_path):
+    """A plan change that no longer produces some tiles must remove
+    those partitions AND their manifest entries — reads of the output
+    path never mix tiles from a superseded lineage."""
+    path = str(tmp_path / "tiles3")
+    df = assigned.select("url", "lon", "lat", "cell_r5")
+    checkpoint.checkpointed_write(df, path, "cell_r5")
+    all_tiles = set(checkpoint.read_manifest(path))
+
+    keep = sorted(all_tiles)[: len(all_tiles) // 2]
+    df2 = df.where(F.col("cell_r5").isin([int(t) for t in keep]))
+    r = checkpoint.checkpointed_write(df2, path, "cell_r5")
+    assert r["pruned"] == len(all_tiles) - len(keep)
+    mf = checkpoint.read_manifest(path)
+    assert set(mf) == set(keep)
+    back = spark.read.parquet(path)
+    assert back.count() == df2.count()
+    assert {r[0] for r in back.select("cell_r5").distinct().collect()} \
+        == set(keep)
+    # manifest counts equal the written data per tile
+    per_tile = {r[0]: r[1] for r in
+                back.groupBy("cell_r5").count().collect()}
+    assert {t: e["rows"] for t, e in mf.items()} == per_tile

@@ -156,3 +156,38 @@ def test_plan_is_broadcast_no_shuffle(pts):
     plan = sj.spatial_join(pts, idx, how="inner")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_left_join_pages_schema_nulls_and_duplicates(spark):
+    """The join-back must key on the temp unique id, never the payload
+    columns: duplicate point rows must NOT fan out against each other,
+    NULL payload columns must NOT turn matched rows into unmatched
+    (the r1 all-columns equi-join failed both)."""
+    p = fixtures.POLYGONS[0]
+    rings = fixtures.poly_rings(p)
+    inside_lon = float(np.mean([pt[0] for pt in rings[0][:-1]]))
+    inside_lat = float(np.mean([pt[1] for pt in rings[0][:-1]]))
+    rows = [
+        # duplicate matched rows with NULL html payload
+        ("http://a/x/1", None, None, inside_lon, inside_lat),
+        ("http://a/x/1", None, None, inside_lon, inside_lat),
+        # unmatched point, NULL text
+        ("http://b/y/2", bytearray(b"<html>"), None, 179.0, -89.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "url STRING, html BINARY, text STRING, lon DOUBLE, lat DOUBLE")
+    idx = sj.PolygonIndex.from_fixture(fixtures.POLYGONS)
+    out = sj.spatial_join(df, idx, how="left").collect()
+    # 2 duplicate matched rows stay 2 rows (x matches possible per row
+    # only via DISTINCT polygons), 1 unmatched row keeps null poly_id
+    matched = [r for r in out if r.url == "http://a/x/1"]
+    per_row_polys = sorted(r.poly_id for r in matched)
+    # each duplicate row matches the same polygon set independently —
+    # count must be 2 * |polys containing the point|, not 2 x 2
+    n_polys = len(set(per_row_polys))
+    assert len(matched) == 2 * n_polys
+    unmatched = [r for r in out if r.url == "http://b/y/2"]
+    assert len(unmatched) == 1 and unmatched[0].poly_id is None
+
+    flagged = sj.annotate_selection(df, idx).collect()
+    assert sorted(r.sel for r in flagged) == [False, True, True]
