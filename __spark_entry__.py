@@ -796,6 +796,66 @@ def q_band_percentile_sql() -> str:
             "FROM grid")
 
 
+def q_stack_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """calc_imgs_pxl_percentiles (imagecalc/__init__.py:1161): per
+    pixel, p25/p50/p75 across a 3-image stack (bands as images).
+    Exact interpolated percentile of integer-valued doubles: both
+    engines interpolate halves exactly — bit-exact, no rounding."""
+    from rsgislib_spark.operators import raster
+
+    imgs = fixtures.grid_df(spark, bands=(1, 2, 3)).withColumnRenamed(
+        "band", "img_id")
+    return raster.pixel_percentiles_across_images(imgs, [0.25, 0.5, 0.75])
+
+
+def q_stack_percentiles_sql() -> str:
+    g1 = fixtures.GRID_VALUE_SQL.format(x="a.i", y="b.i", band="1")
+    g2 = fixtures.GRID_VALUE_SQL.format(x="a.i", y="b.i", band="2")
+    g3 = fixtures.GRID_VALUE_SQL.format(x="a.i", y="b.i", band="3")
+    return f"""
+WITH stack AS (
+  SELECT CAST(a.i AS BIGINT) AS x, CAST(b.i AS BIGINT) AS y, v.value
+  FROM generate_series(0, {fixtures.GRID_W - 1}) a(i),
+       generate_series(0, {fixtures.GRID_H - 1}) b(i),
+       LATERAL (VALUES ({g1}), ({g2}), ({g3})) v(value))
+SELECT x, y,
+       CAST(quantile_cont(value, 0.25) AS DOUBLE) AS p25,
+       CAST(quantile_cont(value, 0.5) AS DOUBLE) AS p50,
+       CAST(quantile_cont(value, 0.75) AS DOUBLE) AS p75
+FROM stack GROUP BY x, y
+"""
+
+
+def q_window_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """correlation_window (python/src/imagecalc.cpp:2101): per-window
+    Pearson r between bands 1 and 2 via explicit moment sums (exact
+    integer sums -> identical IEEE division/sqrt both engines)."""
+    from rsgislib_spark.operators import imagestats
+
+    grid = fixtures.grid_df(spark, bands=(1, 2))
+    pairs = imagestats.pair_table(grid, 1, 2)
+    return imagestats.window_correlation(pairs, win=32)
+
+
+def q_window_corr_sql() -> str:
+    va = fixtures.GRID_VALUE_SQL.format(x="a.i", y="b.i", band="1")
+    vb = fixtures.GRID_VALUE_SQL.format(x="a.i", y="b.i", band="2")
+    return f"""
+WITH pairs AS (
+  SELECT CAST(a.i AS BIGINT) AS x, CAST(b.i AS BIGINT) AS y,
+         {va} AS va, {vb} AS vb
+  FROM generate_series(0, {fixtures.GRID_W - 1}) a(i),
+       generate_series(0, {fixtures.GRID_H - 1}) b(i))
+SELECT x // 32 AS wx, y // 32 AS wy,
+       CAST(COUNT(*) AS DOUBLE) AS n_pix,
+       (CAST(COUNT(*) AS DOUBLE) * SUM(va*vb) - SUM(va) * SUM(vb))
+       / (SQRT(CAST(COUNT(*) AS DOUBLE) * SUM(va*va) - SUM(va) * SUM(va))
+          * SQRT(CAST(COUNT(*) AS DOUBLE) * SUM(vb*vb) - SUM(vb) * SUM(vb)))
+       AS corr
+FROM pairs GROUP BY x // 32, y // 32
+"""
+
+
 def q_dist_to_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """calc_dist_to_img_vals (imagecalc/__init__.py:145): per-pixel
     distance to the nearest target-value pixel, capped at max_dist."""
@@ -1559,6 +1619,8 @@ _REGISTRY: dict[str, tuple] = {
     "mosaic": (q_mosaic, q_mosaic_sql),
     "grid_histogram": (q_grid_histogram, q_grid_histogram_sql),
     "band_percentile": (q_band_percentile, q_band_percentile_sql),
+    "stack_percentiles": (q_stack_percentiles, q_stack_percentiles_sql),
+    "window_corr": (q_window_corr, q_window_corr_sql),
     "dist_to_value": (q_dist_to_value, q_dist_to_value_sql),
     "reproject_mercator": (q_reproject_mercator, q_reproject_mercator_sql),
     "reproject_utm": (q_reproject_utm, q_reproject_utm_sql),

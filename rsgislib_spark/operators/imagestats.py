@@ -83,3 +83,124 @@ def emd_1d(pairs: DataFrame, n_bins: int, lo: float, hi: float,
     return cdf.agg(
         F.round(F.sum(F.abs(F.col("ca") - F.col("cb")) * width), round_to)
         .alias("emd"))
+
+
+def window_correlation(pairs: DataFrame, win: int = 32,
+                       a: str = "va", b: str = "vb") -> DataFrame:
+    """correlation_window (python/src/imagecalc.cpp:2101): Pearson r
+    between two bands PER win x win window — one map-side-combinable
+    groupBy on the window key, explicit moment sums (bit-reproducible
+    like correlation())."""
+    n = F.count("*").cast("double")
+    sa, sb = F.sum(a), F.sum(b)
+    saa = F.sum(F.col(a) * F.col(a))
+    sbb = F.sum(F.col(b) * F.col(b))
+    sab = F.sum(F.col(a) * F.col(b))
+    r = (n * sab - sa * sb) / (
+        F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb))
+    return (
+        pairs.groupBy(
+            F.expr(f"x DIV {win}").alias("wx"),
+            F.expr(f"y DIV {win}").alias("wy"))
+        .agg(n.alias("n_pix"), r.alias("corr"))
+    )
+
+
+# ------------------------------------------------- split-window thresholds
+
+def _otsu(vals, bins: int = 256) -> float:
+    """Otsu threshold (public formula): maximize inter-class variance
+    over a histogram; returns the bin-center threshold."""
+    import numpy as np
+
+    hist, edges = np.histogram(vals, bins=bins)
+    centers = (edges[:-1] + edges[1:]) / 2.0
+    w0 = np.cumsum(hist).astype(np.float64)
+    w1 = w0[-1] - w0
+    m = np.cumsum(hist * centers)
+    mu0 = np.where(w0 > 0, m / np.maximum(w0, 1), 0.0)
+    mu1 = np.where(w1 > 0, (m[-1] - m) / np.maximum(w1, 1), 0.0)
+    between = w0 * w1 * (mu0 - mu1) ** 2
+    return float(centers[int(np.argmax(between))])
+
+
+def _isodata_threshold(vals, max_iter: int = 100) -> float:
+    """Ridler–Calvard iterative intermeans threshold."""
+    import numpy as np
+
+    t = float(vals.mean())
+    for _ in range(max_iter):
+        lo, hi = vals[vals <= t], vals[vals > t]
+        if len(lo) == 0 or len(hi) == 0:
+            break
+        nt = 0.5 * (float(lo.mean()) + float(hi.mean()))
+        if abs(nt - t) < 1e-9:
+            return nt
+        t = nt
+    return t
+
+
+def _yen(vals, bins: int = 256) -> float:
+    """Yen's maximum-correlation threshold over a histogram."""
+    import numpy as np
+
+    hist, edges = np.histogram(vals, bins=bins)
+    centers = (edges[:-1] + edges[1:]) / 2.0
+    p = hist.astype(np.float64) / max(hist.sum(), 1)
+    p1 = np.cumsum(p)
+    p2 = np.cumsum(p ** 2)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        crit = (2.0 * np.log(p1 * (1.0 - p1))
+                - np.log(p2 * (p2[-1] - p2)))
+    # splits where one class is empty are not candidates (p1 can sit
+    # at 1-ulp from float error while the suffix square-sum is exactly
+    # zero, which would otherwise produce a spurious +inf criterion)
+    crit[(p1 <= 0.0) | (p1 >= 1.0) | (p2 <= 0.0)
+         | (p2[-1] - p2 <= 0.0)] = -np.inf
+    return float(centers[int(np.argmax(crit))])
+
+
+THRES_METHODS = {"otsu": _otsu, "isodata": _isodata_threshold, "yen": _yen}
+
+
+def split_window_thresholds(grid: DataFrame, win: int = 64,
+                            method: str = "otsu", band: int = 1,
+                            no_data: float | None = None,
+                            lower_valid: float | None = None,
+                            upper_valid: float | None = None,
+                            min_n_vals: int = 100) -> DataFrame:
+    """calc_split_win_thresholds (imagecalc/__init__.py:1783): one
+    threshold per win x win window (otsu / isodata / yen — public
+    formulas mirroring rsgislib.tools.stats), windows with fewer than
+    min_n_vals valid pixels dropped, like the reference. Distribution:
+    one groupBy(window); thresholds computed vectorized per group."""
+    import numpy as np
+    import pandas as pd
+
+    if method not in THRES_METHODS:
+        raise ValueError(f"method must be one of {sorted(THRES_METHODS)}")
+    fn = THRES_METHODS[method]
+
+    px = grid.where(F.col("band") == band)
+    if no_data is not None:
+        px = px.where(F.col("value") != no_data)
+    if lower_valid is not None:
+        px = px.where(F.col("value") > lower_valid)
+    if upper_valid is not None:
+        px = px.where(F.col("value") < upper_valid)
+    px = px.select(
+        F.expr(f"x DIV {win}").alias("wx"),
+        F.expr(f"y DIV {win}").alias("wy"), "value")
+
+    def _thres(key, pdf):
+        vals = pdf["value"].to_numpy(dtype=np.float64)
+        if len(vals) <= min_n_vals:
+            return pd.DataFrame({"wx": pd.array([], dtype="int64"),
+                                 "wy": pd.array([], dtype="int64"),
+                                 "n_pix": pd.array([], dtype="int64"),
+                                 "threshold": pd.array([], dtype="float64")})
+        return pd.DataFrame([(key[0], key[1], len(vals), fn(vals))],
+                            columns=["wx", "wy", "n_pix", "threshold"])
+
+    return px.groupBy("wx", "wy").applyInPandas(
+        _thres, schema="wx BIGINT, wy BIGINT, n_pix BIGINT, threshold DOUBLE")

@@ -512,6 +512,20 @@ def pixel_stat_across_images(imgs: DataFrame, stat: str = "argmax") -> DataFrame
     return imgs.groupBy("x", "y").agg(agg)
 
 
+def pixel_percentiles_across_images(imgs: DataFrame,
+                                    pcts: list) -> DataFrame:
+    """calc_imgs_pxl_percentiles (imagecalc/__init__.py:1161): per
+    pixel, arbitrary percentiles of the value across the image stack —
+    one map-side-combinable groupBy, exact interpolated percentile
+    (the reference uses np.percentile, same linear interpolation)."""
+    aggs = [
+        F.expr(f"CAST(percentile(value, CAST({p!r} AS DOUBLE)) AS DOUBLE)")
+        .alias(f"p{int(round(p * 100)):02d}")
+        for p in pcts
+    ]
+    return imgs.groupBy("x", "y").agg(*aggs)
+
+
 def count_value_occurrences_across_images(imgs: DataFrame,
                                           target: float) -> DataFrame:
     """count_imgs_int_val_occur (imagecalc/__init__.py:1897): per
