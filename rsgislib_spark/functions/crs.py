@@ -147,6 +147,47 @@ def utm_np(lon: np.ndarray, lat: np.ndarray,
     return easting, northing, zone
 
 
+def utm_inverse_np(easting: np.ndarray, northing: np.ndarray,
+                   zone: np.ndarray, south: np.ndarray | bool = False
+                   ) -> tuple:
+    """Inverse ellipsoidal transverse Mercator (Snyder eq. 8-17..8-25,
+    footpoint-latitude series) — UTM -> WGS84 lon/lat. The inverse
+    half of reproj_wgs84_vec_to_utm; enables merge_utm_vecs_wgs84
+    (canonicalize-at-ingest)."""
+    x = np.asarray(easting, dtype=np.float64) - 500000.0
+    y = np.asarray(northing, dtype=np.float64).copy()
+    zone = np.asarray(zone, dtype=np.float64)
+    south_arr = np.broadcast_to(np.asarray(south, dtype=bool), y.shape)
+    y = np.where(south_arr, y - 10000000.0, y)
+    lam0 = zone * 6.0 - 183.0
+
+    m = y / UTM_K0
+    mu = m / (R_MAJOR * _M0)
+    e1 = (1.0 - np.sqrt(1.0 - UTM_E2)) / (1.0 + np.sqrt(1.0 - UTM_E2))
+    phi1 = (mu
+            + (3.0 * e1 / 2.0 - 27.0 * e1**3 / 32.0) * np.sin(2 * mu)
+            + (21.0 * e1**2 / 16.0 - 55.0 * e1**4 / 32.0) * np.sin(4 * mu)
+            + (151.0 * e1**3 / 96.0) * np.sin(6 * mu)
+            + (1097.0 * e1**4 / 512.0) * np.sin(8 * mu))
+    sinp, cosp, tanp = np.sin(phi1), np.cos(phi1), np.tan(phi1)
+    c1 = UTM_EP2 * cosp * cosp
+    t1 = tanp * tanp
+    n1 = R_MAJOR / np.sqrt(1.0 - UTM_E2 * sinp * sinp)
+    r1 = R_MAJOR * (1.0 - UTM_E2) / (1.0 - UTM_E2 * sinp * sinp) ** 1.5
+    d = x / (n1 * UTM_K0)
+    lat = phi1 - (n1 * tanp / r1) * (
+        d * d / 2.0
+        - (5.0 + 3.0 * t1 + 10.0 * c1 - 4.0 * c1 * c1 - 9.0 * UTM_EP2)
+        * d**4 / 24.0
+        + (61.0 + 90.0 * t1 + 298.0 * c1 + 45.0 * t1 * t1
+           - 252.0 * UTM_EP2 - 3.0 * c1 * c1) * d**6 / 720.0)
+    lon = np.radians(lam0) + (
+        d - (1.0 + 2.0 * t1 + c1) * d**3 / 6.0
+        + (5.0 - 2.0 * c1 + 28.0 * t1 - 3.0 * c1 * c1 + 8.0 * UTM_EP2
+           + 24.0 * t1 * t1) * d**5 / 120.0) / cosp
+    return np.degrees(lon), np.degrees(lat)
+
+
 def equirect_np(lon: np.ndarray, lat: np.ndarray, lat0: float = 0.0) -> tuple:
     """Plate-carrée with standard parallel lat0 — the quick local
     planar frame for small-area measures."""

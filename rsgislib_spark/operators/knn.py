@@ -88,7 +88,7 @@ def knn_kring(points: DataFrame, sites: DataFrame, res: int = 4,
               lon: str = "lon", lat: str = "lat",
               site_id: str = "site_id", site_lon: str = "site_lon",
               site_lat: str = "site_lat",
-              max_rings: int = 8) -> DataFrame:
+              max_rings: int = 8, init_r: int | None = None) -> DataFrame:
     """k=1 nearest neighbour via iterative k-ring expansion join — the
     shuffle path for LARGE site tables.
 
@@ -98,14 +98,26 @@ def knn_kring(points: DataFrame, sites: DataFrame, res: int = 4,
     r-1 full cell heights away (cell_h = lat cell size, the smaller
     guarantee). Unresolved points go to the next round with r doubled.
     Falls back to a broadcast argmin for stragglers past max_rings.
+
+    init_r: starting ring radius. None derives it from site density —
+    expected nearest-site spacing ~ sqrt(globe_area / (pi * n_sites))
+    — so the typical point resolves in round ONE instead of paying
+    count()+anti-join actions for rings that resolve almost nothing
+    (each round is a full job; starting too small is pure overhead,
+    starting a ring too big only widens the first join's fan-out).
     """
     cell_h = 180.0 / (1 << res)  # degrees of latitude per cell
     pts = points.withColumn("cell", quadcell.cell_col(lon, lat, res))
     sts = sites.withColumn("scell", quadcell.cell_col(site_lon, site_lat, res))
 
+    if init_r is None:
+        n_sites = max(sites.count(), 1)  # dimension side: cheap count
+        est_spacing = (360.0 * 180.0 / (np.pi * n_sites)) ** 0.5
+        init_r = max(1, min(int(np.ceil(est_spacing / cell_h)), 1 << res))
+
     resolved = None
     remaining = pts.persist()
-    r = 1
+    r = int(init_r)
     rounds = 0
     while rounds < max_rings:
         cand = (

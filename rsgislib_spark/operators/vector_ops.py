@@ -211,6 +211,40 @@ def merge_tables(dfs: list) -> DataFrame:
     return out
 
 
+def merge_utm_vecs_wgs84(dfs: list, easting: str = "easting",
+                         northing: str = "northing", zone: str = "zone",
+                         south: bool = False) -> DataFrame:
+    """merge_utm_vecs_wgs84 (vectorutils/__init__.py:3092): layers in
+    (possibly different) UTM zones are canonicalized to WGS84 lon/lat
+    at ingest (inverse transverse-Mercator, crs.utm_inverse_np, as a
+    vectorized Arrow batch) and UNION ALL'd — the engine's
+    one-global-CRS design note made real."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import crs
+
+    def to_wgs84(df: DataFrame) -> DataFrame:
+        schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                           for f in df.schema.fields)
+        schema += ", lon DOUBLE, lat DOUBLE"
+
+        def gen(batches):
+            for pdf in batches:
+                lon, lat = crs.utm_inverse_np(
+                    pdf[easting].to_numpy(dtype=np.float64),
+                    pdf[northing].to_numpy(dtype=np.float64),
+                    pdf[zone].to_numpy(dtype=np.float64), south)
+                out = pdf.copy()
+                out["lon"] = lon
+                out["lat"] = lat
+                yield out
+
+        return df.mapInPandas(gen, schema=schema)
+
+    return merge_tables([to_wgs84(d) for d in dfs])
+
+
 def count_per_value(df: DataFrame, col: str) -> DataFrame:
     """count_feats_per_att_val (vectorutils/__init__.py:323)."""
     return df.groupBy(col).agg(F.count("*").alias("n_feats"))

@@ -249,3 +249,39 @@ def test_kmeans_and_pca(spark):
     vals = np.array([r.pca[0] for r in proj.collect()])
     # the cluster axis dominates variance: projections split cleanly
     assert (vals[:60].max() < vals[60:].min()) or (vals[:60].min() > vals[60:].max())
+
+
+def test_isodata_splits_and_merges(spark):
+    import numpy as np
+
+    from rsgislib_spark.operators import ml
+
+    rng = np.random.default_rng(4)
+    blobs = [(0.0, 0.0), (50.0, 0.0), (0.0, 50.0)]
+    rows = []
+    for cx, cy in blobs:
+        for _ in range(200):
+            rows.append((float(cx + rng.normal(0, 1.0)),
+                         float(cy + rng.normal(0, 1.0))))
+    df = spark.createDataFrame(rows, "f1 DOUBLE, f2 DOUBLE")
+
+    # start with too FEW clusters: max_std_dev forces splits up to 3
+    out, centers = ml.isodata_cluster(
+        df, ["f1", "f2"], n_clusters=2, max_n_iters=6,
+        max_std_dev=5.0, min_dist_clusters=3.0)
+    assert len(centers) == 3
+    got = sorted((round(c[0] / 10) * 10, round(c[1] / 10) * 10)
+                 for c in centers)
+    assert got == [(0, 0), (0, 50), (50, 0)]
+
+    # start with too MANY: near-duplicate centroids merge back to 3
+    out2, centers2 = ml.isodata_cluster(
+        df, ["f1", "f2"], n_clusters=8, max_n_iters=6,
+        max_std_dev=5.0, min_dist_clusters=6.0)
+    assert len(centers2) == 3
+    # every blob maps to exactly one cluster id
+    import collections
+    labels = [r[2] for r in out2.collect()]
+    per_blob = [set(labels[i * 200:(i + 1) * 200]) for i in range(3)]
+    assert all(len(s) == 1 for s in per_blob)
+    assert len(set().union(*per_blob)) == 3

@@ -140,3 +140,44 @@ def test_rescale(spark):
     df = spark.createDataFrame([(50.0,)], "v DOUBLE")
     got = df.select(expressions.rescale("v", 0, 100, 0, 1).alias("r")).collect()
     assert got[0].r == 0.5
+
+
+def test_utm_roundtrip_and_known_point():
+    import numpy as np
+
+    from rsgislib_spark.functions import crs
+
+    # published sample: CN Tower 43.642567N 79.387139W -> 17N 630084E
+    # 4833439N (UTM article's worked example, sub-meter)
+    e, n, z = crs.utm_np(np.array([-79.387139]), np.array([43.642567]))
+    assert z[0] == 17
+    assert abs(e[0] - 630084.3) < 1.0 and abs(n[0] - 4833438.6) < 1.0
+    # forward->inverse roundtrip over a grid of points per hemisphere
+    rng = np.random.default_rng(2)
+    lon = rng.uniform(-179.9, 179.9, 300)
+    lat = rng.uniform(-80.0, 80.0, 300)
+    e, n, z = crs.utm_np(lon, lat)
+    lon2, lat2 = crs.utm_inverse_np(e, n, z, south=lat < 0)
+    assert np.max(np.abs(lon2 - lon)) < 1e-7
+    assert np.max(np.abs(lat2 - lat)) < 1e-7
+
+
+def test_merge_utm_vecs_wgs84(spark):
+    import numpy as np
+
+    from rsgislib_spark.functions import crs
+    from rsgislib_spark.operators import vector_ops
+
+    lonq = np.array([-79.387139, -75.0])
+    latq = np.array([43.642567, 40.0])
+    e, n, z = crs.utm_np(lonq, latq)
+    a = spark.createDataFrame(
+        [(1, float(e[0]), float(n[0]), int(z[0]))],
+        "fid BIGINT, easting DOUBLE, northing DOUBLE, zone BIGINT")
+    b = spark.createDataFrame(
+        [(2, float(e[1]), float(n[1]), int(z[1]))],
+        "fid BIGINT, easting DOUBLE, northing DOUBLE, zone BIGINT")
+    out = {r.fid: (r.lon, r.lat) for r in
+           vector_ops.merge_utm_vecs_wgs84([a, b]).collect()}
+    assert abs(out[1][0] - lonq[0]) < 1e-7 and abs(out[1][1] - latq[0]) < 1e-7
+    assert abs(out[2][0] - lonq[1]) < 1e-7 and abs(out[2][1] - latq[1]) < 1e-7
