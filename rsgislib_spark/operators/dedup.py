@@ -210,13 +210,19 @@ def simhash64(df: DataFrame, id_col: str = "doc_id",
 
 
 def simhash_dup_groups(df: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       max_ids: int | None = None) -> DataFrame:
     """Documents sharing an identical simhash (distance-0 groups;
-    banded Hamming-k search composes from the same primitive)."""
+    banded Hamming-k search composes from the same primitive).
+    max_ids caps the per-group id list like exact_dedup's — boilerplate
+    mega-groups at 100 TB must not blow the aggregation buffer."""
     sh = simhash64(df, id_col, text_col)
-    return (
+    out = (
         sh.groupBy("simhash")
         .agg(F.count("*").alias("n_docs"),
              F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
         .where(F.col("n_docs") > 1)
     )
+    if max_ids is not None:
+        out = out.withColumn("doc_ids", F.slice("doc_ids", 1, max_ids))
+    return out

@@ -159,6 +159,15 @@ def knn_kring(points: DataFrame, sites: DataFrame, res: int = 4,
         r *= 2
         rounds += 1
     else:
+        # bounded fallback: knn_broadcast collects the SITE table to
+        # the driver — only safe when it is genuinely dimension-sized.
+        # A huge site table past max_rings means the ring guarantee is
+        # mis-tuned (res too fine / max_rings too low): fail loudly
+        # rather than OOM the driver.
+        if sites.count() > 5_000_000:
+            raise RuntimeError(
+                "knn_kring exhausted max_rings with a site table too "
+                "large to broadcast — raise max_rings or coarsen res")
         tail = knn_broadcast(remaining.drop("cell"), sites, k=1,
                              lon=lon, lat=lat, site_id=site_id,
                              site_lon=site_lon, site_lat=site_lat).drop("nn_rank")

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from ..geometry import wkb
 from .clump import clump
@@ -73,6 +73,20 @@ def polygonize(grid: DataFrame, tile: int = 64,
     return labelled.groupBy("clump_id").applyInPandas(
         _poly, schema=("clump_id BIGINT, value DOUBLE, area DOUBLE, "
                        "n_rings INT, geometry BINARY"))
+
+
+def image_footprint(grid: DataFrame, band: int = 1,
+                    no_data: float | None = None,
+                    tile: int = 64) -> DataFrame:
+    """extract_image_footprint (vectorutils/createvectors.py — valid-
+    data extent polygon): polygonize the VALID-pixel mask (all valid
+    pixels collapsed to one value), yielding one polygon per connected
+    valid region with holes where no-data blocks sit inside."""
+    px = grid.where(F.col("band") == band)
+    if no_data is not None:
+        px = px.where(F.col("value") != no_data)
+    mask = px.select("x", "y", F.lit(1.0).alias("value"))
+    return polygonize(mask, tile=tile).drop("value")
 
 
 def _shoelace_signed(arr: np.ndarray) -> float:

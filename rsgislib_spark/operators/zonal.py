@@ -98,3 +98,54 @@ def zonal_stats(joined: DataFrame, zone_col: str = "poly_id",
             out = out.withColumn(c, F.coalesce(F.col(c), sentinel))
         return out
     return aggs
+
+
+def zonal_stats_hybrid(joined: DataFrame, zones: DataFrame, grid: DataFrame,
+                       origin_x: float, origin_y: float, res: float,
+                       zone_col: str = "poly_id", value_col: str = "value",
+                       centroid_lon: str = "centroid_x",
+                       centroid_lat: str = "centroid_y", band: int = 1,
+                       out_no_data_val: float = -9999.0,
+                       no_data_val: float | None = None,
+                       min_thres: float | None = None,
+                       max_thres: float | None = None) -> DataFrame:
+    """calc_zonal_band_stats_test_poly_pts
+    (zonalstats/__init__.py:885): zones with >= 1 intersecting pixel
+    get full zonal stats; zones with NONE fall back to the value at
+    their centroid pixel (min=max=mean=median=mode=sum=value,
+    stddev=0, count=1), and the sentinel only when the centroid
+    misses the raster too.
+
+    Plan: the stats aggregation and the centroid point-extract are two
+    independent joins unioned by a coalesce — no per-zone Python, no
+    second pass over the pixels.
+    """
+    from .raster import extract_point_values
+
+    stats = zonal_stats(joined, zone_col=zone_col, value_col=value_col,
+                        no_data_val=no_data_val, min_thres=min_thres,
+                        max_thres=max_thres)
+    pts = zones.select(zone_col, F.col(centroid_lon).alias("lon"),
+                       F.col(centroid_lat).alias("lat"))
+    ctr = extract_point_values(pts, grid, origin_x, origin_y, res,
+                               band=band, out_no_data=out_no_data_val,
+                               no_data_val=no_data_val)
+    ctr = ctr.select(zone_col, F.col("pix_val").alias("_ctr_val"))
+
+    out = zones.select(zone_col).join(stats, zone_col, "left") \
+        .join(ctr, zone_col, "left")
+    has_ctr = F.col("_ctr_val") != F.lit(float(out_no_data_val))
+    sentinel = F.lit(float(out_no_data_val))
+    value_like = ["min", "max", "mean", "sum", "median", "mode"]
+    for c in value_like:
+        out = out.withColumn(
+            c, F.coalesce(F.col(c),
+                          F.when(has_ctr, F.col("_ctr_val"))
+                          .otherwise(sentinel)))
+    out = out.withColumn(
+        "stddev", F.coalesce(F.col("stddev"),
+                             F.when(has_ctr, F.lit(0.0)).otherwise(sentinel)))
+    out = out.withColumn(
+        "count", F.coalesce(F.col("count"),
+                            F.when(has_ctr, F.lit(1.0)).otherwise(sentinel)))
+    return out.drop("_ctr_val")

@@ -70,3 +70,20 @@ def test_polygonize_hole_in_component(spark):
     assert ring_poly.n_rings == 2 and ring_poly.area == 24.0
     zero_areas = sorted(r.area for r in rows if r.value == 0.0)
     assert zero_areas == [1.0, 24.0]  # enclosed pixel + background
+
+
+def test_image_footprint_holes(spark):
+    from rsgislib_spark.operators.polygonize import image_footprint
+
+    # 8x8 valid raster with a 2x2 no-data block inside
+    rows = []
+    for y in range(8):
+        for x in range(8):
+            v = -99.0 if (3 <= x <= 4 and 3 <= y <= 4) else float(x)
+            rows.append((x, y, 1, v))
+    grid = spark.createDataFrame(
+        rows, "x BIGINT, y BIGINT, band INT, value DOUBLE")
+    out = image_footprint(grid, no_data=-99.0).collect()
+    assert len(out) == 1
+    fp = out[0]
+    assert fp.area == 60.0 and fp.n_rings == 2  # 64 - 4, hole ring

@@ -112,3 +112,14 @@ def test_parquet_filter_pushdown(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters: [IsNotNull(pt_id), EqualTo(pt_id,42)]" in plan
+
+
+def test_check_str_col_strips_and_caps(spark):
+    from rsgislib_spark.operators import vector_ops
+
+    df = spark.createDataFrame(
+        [("a" * 300,), ("he!!o wörld",)], "s STRING")
+    out = [r.s for r in vector_ops.check_str_col(df, "s", max_len=10)
+           .collect()]
+    assert out[0] == "a" * 10
+    assert out[1] == "heo wrld"

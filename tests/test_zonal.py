@@ -75,3 +75,30 @@ def test_population_stddev_not_sample(spark, joined):
     a = np.array([10.0, 20.0, 30.0, 40.0])
     assert got[2] == pytest.approx(a.std(), abs=1e-12)      # population
     assert got[2] != pytest.approx(a.std(ddof=1), abs=1e-6)  # not sample
+
+
+def test_zonal_stats_hybrid_centroid_fallback(spark):
+    from rsgislib_spark.operators import zonal
+
+    # raster: 10x10, value = x + y (integers)
+    grid = spark.createDataFrame(
+        [(x, y, 1, float(x + y)) for y in range(10) for x in range(10)],
+        "x BIGINT, y BIGINT, band INT, value DOUBLE")
+    # zone 1 has pixels; zone 2 has NONE but its centroid hits (3, 4);
+    # zone 3 has none and its centroid is off-raster
+    joined = spark.createDataFrame(
+        [(1, 2.0), (1, 4.0), (1, 6.0)], "poly_id BIGINT, value DOUBLE")
+    # origin (0, 0), res 1, north-up: lon=x+eps, lat=-(y+eps)
+    zones = spark.createDataFrame(
+        [(1, 0.5, -0.5), (2, 3.5, -4.5), (3, 55.0, -55.0)],
+        "poly_id BIGINT, centroid_x DOUBLE, centroid_y DOUBLE")
+    out = {r.poly_id: r for r in zonal.zonal_stats_hybrid(
+        joined, zones, grid, origin_x=0.0, origin_y=0.0, res=1.0,
+        value_col="value").collect()}
+    assert out[1]["mean"] == 4.0 and out[1]["count"] == 3.0
+    # zone 2: centroid pixel (3,4) value 7 fills every stat
+    z2 = out[2]
+    assert z2["min"] == z2["max"] == z2["mean"] == z2["median"] == 7.0
+    assert z2["stddev"] == 0.0 and z2["count"] == 1.0
+    # zone 3: sentinel everywhere
+    assert out[3]["mean"] == -9999.0 and out[3]["count"] == -9999.0
