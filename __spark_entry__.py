@@ -614,7 +614,7 @@ def q_knn_kring(spark: SparkSession, sf_dir: str) -> DataFrame:
     star: 'kNN via iterative H3 k-ring expansion'). Same oracle as
     the broadcast path — both must agree with the cross-join truth."""
     pts = _points(spark, sf_dir)
-    out = knn_ops.knn_kring(pts, derived.sites_df(spark), res=4)
+    out = knn_ops.knn_kring(pts, derived.sites_df(spark))  # auto res
     return out.select("pt_id", "nn_site_id", "nn_dist_sq")
 
 

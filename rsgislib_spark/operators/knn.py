@@ -84,7 +84,7 @@ def knn_broadcast(points: DataFrame, sites: DataFrame, k: int = 1,
     return points.mapInPandas(_nn, schema=schema)
 
 
-def knn_kring(points: DataFrame, sites: DataFrame, res: int = 4,
+def knn_kring(points: DataFrame, sites: DataFrame, res: int | None = None,
               lon: str = "lon", lat: str = "lat",
               site_id: str = "site_id", site_lon: str = "site_lon",
               site_lat: str = "site_lat",
@@ -99,19 +99,26 @@ def knn_kring(points: DataFrame, sites: DataFrame, res: int = 4,
     guarantee). Unresolved points go to the next round with r doubled.
     Falls back to a broadcast argmin for stragglers past max_rings.
 
-    init_r: starting ring radius. None derives it from site density —
-    expected nearest-site spacing ~ sqrt(globe_area / (pi * n_sites))
-    — so the typical point resolves in round ONE instead of paying
-    count()+anti-join actions for rings that resolve almost nothing
-    (each round is a full job; starting too small is pure overhead,
-    starting a ring too big only widens the first join's fan-out).
+    res / init_r: cell resolution and starting ring radius. None
+    derives both from site density — expected nearest-site spacing ~
+    sqrt(globe_area / (pi * n_sites)); res is picked so ONE cell is
+    about that spacing (ring-1 then already covers the typical
+    nearest site) — the typical point resolves in round ONE instead of
+    paying count()+anti-join actions for rings that resolve almost
+    nothing (each round is a full job; starting too small is pure
+    overhead, a ring too big only widens the first join's fan-out).
     """
+    n_sites = None
+    if res is None or init_r is None:
+        n_sites = max(sites.count(), 1)  # dimension side: cheap count
+        est_spacing = (360.0 * 180.0 / (np.pi * n_sites)) ** 0.5
+        if res is None:
+            res = int(np.clip(np.floor(np.log2(180.0 / est_spacing)), 1, 12))
     cell_h = 180.0 / (1 << res)  # degrees of latitude per cell
     pts = points.withColumn("cell", quadcell.cell_col(lon, lat, res))
     sts = sites.withColumn("scell", quadcell.cell_col(site_lon, site_lat, res))
 
     if init_r is None:
-        n_sites = max(sites.count(), 1)  # dimension side: cheap count
         est_spacing = (360.0 * 180.0 / (np.pi * n_sites)) ** 0.5
         init_r = max(1, min(int(np.ceil(est_spacing / cell_h)), 1 << res))
 

@@ -88,3 +88,26 @@ def test_shingles_distinct_and_ordered(spark, docs):
     grams = [r.shingle for r in sh]
     assert len(grams) == len(set(grams))
     assert "the quick brown" in grams
+
+
+def test_minhash_verify_never_runs_full_corpus_join(spark, monkeypatch):
+    """The r1 implementation verified candidates by computing
+    ngram_jaccard_pairs(threshold=0) over the WHOLE corpus — the
+    quadratic job LSH exists to avoid. Structurally assert the exact
+    verify is restricted to candidate pairs: the full-corpus helper
+    must not be invoked at all."""
+    import rsgislib_spark.operators.dedup as dd
+
+    def boom(*a, **k):
+        raise AssertionError("minhash_lsh_pairs called the full-corpus "
+                             "ngram_jaccard_pairs")
+
+    monkeypatch.setattr(dd, "ngram_jaccard_pairs", boom)
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "the quick brown fox jumps over the lazy dog tonight"),
+         (3, "completely different text with no shared shingles here")],
+        "doc_id BIGINT, text STRING")
+    out = dd.minhash_lsh_pairs(docs, threshold=0.5, n_perm=16, bands=8)
+    pairs = {(r.a, r.b) for r in out.collect()}
+    assert (1, 2) in pairs
