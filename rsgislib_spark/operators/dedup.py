@@ -209,6 +209,46 @@ def simhash64(df: DataFrame, id_col: str = "doc_id",
     return votes.select("doc_id", (expr + top).alias("simhash"))
 
 
+def simhash_near_pairs(df: DataFrame, k: int = 3, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Near-duplicate pairs within Hamming distance k of the 64-bit
+    SimHash (the banded Hamming-k search the distance-0 groups
+    compose into).
+
+    Pigeonhole banding: split the 64 bits into k+1 contiguous bands —
+    any pair within distance k agrees EXACTLY on at least one band, so
+    candidates come from k+1 equi-joins on (band_index, band_bits),
+    then one codegen bit_count(xor) verify. No cross join, all
+    JVM-side; fan-out is bounded by band-bucket sizes exactly like
+    MinHash banding."""
+    nb = k + 1
+    width = 64 // nb
+    sh = simhash64(df, id_col, text_col)
+    bands = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            # band bi = bits [bi*width, ...); last band takes the rest
+            F.shiftrightunsigned(
+                F.col("simhash"), bi * width).bitwiseAND(
+                F.lit(-1 if bi == nb - 1 else (1 << width) - 1))
+            .alias("bits"))
+        for bi in range(nb)
+    ]
+    buckets = sh.select("doc_id", "simhash",
+                        F.explode(F.array(*bands)).alias("bk"))
+    l = buckets.selectExpr("doc_id AS a", "simhash AS ha", "bk")
+    r = buckets.selectExpr("doc_id AS b", "simhash AS hb", "bk")
+    return (
+        l.join(r, "bk")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b",
+                F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+                .alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= k)
+    )
+
+
 def simhash_dup_groups(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
                        max_ids: int | None = None) -> DataFrame:

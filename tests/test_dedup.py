@@ -111,3 +111,26 @@ def test_minhash_verify_never_runs_full_corpus_join(spark, monkeypatch):
     out = dd.minhash_lsh_pairs(docs, threshold=0.5, n_perm=16, bands=8)
     pairs = {(r.a, r.b) for r in out.collect()}
     assert (1, 2) in pairs
+
+
+def test_simhash_near_pairs_matches_bruteforce(spark):
+    import itertools
+
+    from rsgislib_spark.operators import dedup as dd
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    docs = [(1, base + "alpha beta"), (2, base + "alpha bets"),
+            (3, base + "alpha beta"), (4, "totally unrelated content " * 5),
+            (5, base + "gamma delta epsilon zeta")]
+    df = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+    k = 6
+    got = {(r.a, r.b): r.hamming
+           for r in dd.simhash_near_pairs(df, k=k).collect()}
+    sh = {r.doc_id: r.simhash for r in dd.simhash64(df).collect()}
+    want = {}
+    for a, b in itertools.combinations(sorted(sh), 2):
+        d = bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1")
+        if d <= k:
+            want[(a, b)] = d
+    assert got == want
+    assert (1, 3) in got and got[(1, 3)] == 0  # identical docs
