@@ -96,7 +96,9 @@ def main() -> None:
         txt = open(baseline).read()
         nums = {
             "raw": re.search(r"Raw scaling efficiency[^:]*: ([0-9.]+)", txt),
-            "ceiling": re.search(r"\*\*([0-9.]+)\*\* — the hypervisor", txt),
+            "ceiling": re.search(
+                r"measured the same way at 8→32 procs\):\s*\*\*([0-9.]+)\*\*",
+                txt),
             "vs_ceiling": re.search(r"hardware ceiling:\s*([0-9.]+)", txt),
         }
         sc = {k: float(m.group(1)) for k, m in nums.items() if m}

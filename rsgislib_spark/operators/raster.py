@@ -105,7 +105,8 @@ def extract_point_values(points: DataFrame, grid: DataFrame,
     )
 
 
-FOCAL_STATS = {"mean", "min", "max", "median", "stddev", "sum", "range", "total"}
+FOCAL_STATS = {"mean", "min", "max", "median", "stddev", "sum", "range",
+               "total", "coeff_of_var"}
 
 
 def _halo_tile_explode(grid: DataFrame, tile: int, h: int) -> DataFrame:
@@ -189,6 +190,8 @@ def focal_filter(grid: DataFrame, stat: str = "mean", k: int = 3,
                 out = np.nansum(w, axis=1)
             elif stat_name == "range":
                 out = np.nanmax(w, axis=1) - np.nanmin(w, axis=1)
+            elif stat_name == "coeff_of_var":
+                out = np.nanstd(w, axis=1) / np.nanmean(w, axis=1)
         return pd.DataFrame({"x": hx, "y": hy, "focal": out})
 
     return exploded.groupBy("_tile").applyInPandas(
@@ -255,6 +258,50 @@ def focal_conv(grid: DataFrame, kernel, divisor: float | None = None,
 
     return exploded.groupBy("_tile").applyInPandas(
         _conv, schema="x BIGINT, y BIGINT, conv DOUBLE")
+
+
+def focal_argmin(grid: DataFrame, k: int = 3, tile: int = 64) -> DataFrame:
+    """identify_min_pxl_value_in_win (python/src/imagecalc.cpp:2409):
+    per pixel, the VALUE and COORDINATES of the minimum pixel in its
+    k x k window (lowest flat index breaks ties, deterministic)."""
+    h = k // 2
+    exploded = _halo_tile_explode(grid, tile, h)
+
+    def _amin(key, pdf):
+        xs = pdf["x"].to_numpy()
+        ys = pdf["y"].to_numpy()
+        vs = pdf["value"].to_numpy(dtype=np.float64)
+        tx, ty = (int(t) for t in key[0].split("_"))
+        x0, x1 = tx * tile, (tx + 1) * tile
+        y0, y1 = ty * tile, (ty + 1) * tile
+        wx0, wy0 = xs.min(), ys.min()
+        W = np.full((ys.max() - wy0 + 1, xs.max() - wx0 + 1), np.nan)
+        W[ys - wy0, xs - wx0] = vs
+        home = (xs >= x0) & (xs < x1) & (ys >= y0) & (ys < y1)
+        hx, hy = xs[home], ys[home]
+        if len(hx) == 0:
+            return pd.DataFrame({"x": pd.array([], dtype="int64"),
+                                 "y": pd.array([], dtype="int64"),
+                                 "min_x": pd.array([], dtype="int64"),
+                                 "min_y": pd.array([], dtype="int64"),
+                                 "min_val": pd.array([], dtype="float64")})
+        P = np.pad(W, h, constant_values=np.nan)
+        wins = np.lib.stride_tricks.sliding_window_view(P, (k, k))
+        w = wins[hy - wy0, hx - wx0].reshape(len(hx), -1)
+        with np.errstate(all="ignore"):
+            flat = np.nanargmin(w, axis=1)  # first (lowest index) tie
+            mval = w[np.arange(len(hx)), flat]
+        # window-local (row, col) -> global pixel coords
+        mrow, mcol = flat // k, flat % k
+        return pd.DataFrame({
+            "x": hx, "y": hy,
+            "min_x": hx + mcol - h, "min_y": hy + mrow - h,
+            "min_val": mval,
+        })
+
+    return exploded.groupBy("_tile").applyInPandas(
+        _amin, schema=("x BIGINT, y BIGINT, min_x BIGINT, min_y BIGINT, "
+                       "min_val DOUBLE"))
 
 
 def _window_mean_var(key, pdf, tile: int, k: int):

@@ -169,3 +169,22 @@ def test_distance_dense_matches_sparse_and_never_collects(spark, grid):
     assert set(sparse) == set(dense)
     for key in sparse:
         assert dense[key] == pytest.approx(sparse[key], abs=1e-9), key
+
+
+def test_focal_argmin_and_coeff_of_var(spark, grid, value_mat):
+    got = {(r.x, r.y): (r.min_x, r.min_y, r.min_val) for r in
+           raster.focal_argmin(grid, k=3, tile=64).collect()}
+    V = value_mat
+    for (x, y) in [(5, 5), (64, 64), (0, 0), (127, 127), (63, 64)]:
+        xs = np.arange(max(x - 1, 0), min(x + 2, 128))
+        ys = np.arange(max(y - 1, 0), min(y + 2, 128))
+        sub = V[np.ix_(ys, xs)]
+        want = float(np.min(sub))
+        mx, my, mv = got[(x, y)]
+        assert mv == want
+        assert V[my, mx] == want
+    cv = {(r.x, r.y): r.focal for r in
+          raster.focal_filter(grid, "coeff_of_var", k=3, tile=64).collect()}
+    for (x, y) in [(10, 10), (64, 64)]:
+        win = V[max(y - 1, 0):y + 2, max(x - 1, 0):x + 2]
+        assert cv[(x, y)] == pytest.approx(win.std() / win.mean(), rel=1e-12)
