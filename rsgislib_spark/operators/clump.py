@@ -103,11 +103,74 @@ class _UF:
             self.p[max(ra, rb)] = min(ra, rb)
 
 
+def _closure_driver(spark, edges_df: DataFrame) -> DataFrame | None:
+    """Label-graph closure on the driver (edges scale with tile
+    perimeter ≈ sqrt(pixels) — tiny relative to the raster)."""
+    edges = edges_df.collect()
+    uf = _UF()
+    for e in edges:
+        uf.union(e.la, e.lb)
+    remap = [(k, uf.find(k)) for k in list(uf.p)]
+    remap = [(k, r) for k, r in remap if k != r]
+    if not remap:
+        return None
+    return F.broadcast(spark.createDataFrame(
+        remap, "clump_id BIGINT, root BIGINT"))
+
+
+def _closure_distributed(edges_df: DataFrame, max_iters: int = 64):
+    """Fully distributed closure for perimeter sets beyond driver
+    memory: iterative neighbour-min label propagation + pointer
+    jumping (the Spark twin of _tile_cc's SV loop). Converges in
+    O(log diameter) joins; each round persists and unpersists its
+    predecessor (no lineage growth)."""
+    both = edges_df.union(
+        edges_df.selectExpr("lb AS la", "la AS lb")).persist()
+    lab = (both.selectExpr("la AS node").distinct()
+           .withColumn("root", F.col("node")).persist())
+    for _ in range(max_iters):
+        nbr_min = (
+            both.join(lab.selectExpr("node AS lb", "root AS rb"), "lb")
+            .groupBy("la").agg(F.min("rb").alias("cand"))
+        )
+        stepped = (
+            lab.join(nbr_min.withColumnRenamed("la", "node"), "node", "left")
+            .withColumn("root", F.least("root", F.coalesce("cand", "root")))
+            .select("node", "root")
+        )
+        # pointer jump: root <- root[root]
+        jumped = (
+            stepped.join(
+                stepped.selectExpr("node AS root", "root AS rr"), "root")
+            .selectExpr("node", "rr AS root")
+        ).persist()
+        changed = (
+            jumped.join(lab.withColumnRenamed("root", "old"), "node")
+            .where(F.col("root") != F.col("old")).limit(1).count()
+        )
+        lab.unpersist()
+        lab = jumped
+        if changed == 0:
+            break
+    both.unpersist()
+    out = lab.where(F.col("node") != F.col("root")) \
+             .selectExpr("node AS clump_id", "root")
+    return out
+
+
 def clump(grid: DataFrame, tile: int = 64,
-          no_data: float | None = None) -> DataFrame:
+          no_data: float | None = None,
+          merge: str = "auto",
+          driver_edge_limit: int = 2_000_000) -> DataFrame:
     """(x, y, value) -> (x, y, value, clump_id): 4-connected equal-
     value components; no_data pixels are dropped (reference clump
-    skips the no-data value)."""
+    skips the no-data value).
+
+    merge: 'driver' = collect the border equivalence edges and close
+    them with a union-find (perimeter-scale — the default fit);
+    'distributed' = iterative min-label join closure that never
+    touches the driver; 'auto' picks by edge count vs
+    driver_edge_limit."""
     spark = grid.sparkSession
     px = grid.select("x", "y", "value")
 
@@ -124,32 +187,40 @@ def clump(grid: DataFrame, tile: int = 64,
                     "_ty BIGINT, clump_id BIGINT").drop("_tx", "_ty")
     labelled = labelled.persist()
 
-    # border equivalence edges: adjacent pixels straddling a tile edge
+    # border equivalence edges: adjacent pixels straddling a tile
+    # edge, as TWO equi-joins on shifted coordinates (an OR'd join
+    # condition would degrade to a nested-loop join)
     right = (F.col("x") % tile == tile - 1)
     bottom = (F.col("y") % tile == tile - 1)
-    a = labelled.where(right | bottom).select(
-        "x", "y", F.col("value").alias("va"), F.col("clump_id").alias("la"))
-    b = labelled.select(
-        F.col("x").alias("bx"), F.col("y").alias("by"),
-        F.col("value").alias("vb"), F.col("clump_id").alias("lb"))
-    edges = (
-        a.join(b, ((F.col("bx") == F.col("x") + 1) & (F.col("by") == F.col("y"))
-                   & right)
-               | ((F.col("bx") == F.col("x")) & (F.col("by") == F.col("y") + 1)
-                  & bottom))
-        .where(F.col("va") == F.col("vb"))
+    shifted = (
+        labelled.where(right)
+        .selectExpr("x + 1 AS jx", "y AS jy", "value AS va",
+                    "clump_id AS la")
+        .unionByName(
+            labelled.where(bottom)
+            .selectExpr("x AS jx", "y + 1 AS jy", "value AS va",
+                        "clump_id AS la"))
+    )
+    probe = labelled.selectExpr("x AS jx", "y AS jy", "value AS vb",
+                                "clump_id AS lb")
+    edges_df = (
+        shifted.join(probe, ["jx", "jy"])
+        .where((F.col("va") == F.col("vb")) & (F.col("la") != F.col("lb")))
         .select("la", "lb").distinct()
-        .collect()
     )
 
-    uf = _UF()
-    for e in edges:
-        uf.union(e.la, e.lb)
-    remap = {k: uf.find(k) for k in list(uf.p)}
-    if remap:
-        map_df = F.broadcast(spark.createDataFrame(
-            [(k, v) for k, v in remap.items() if k != v],
-            "clump_id BIGINT, root BIGINT"))
+    if merge == "auto":
+        merge = ("driver"
+                 if edges_df.limit(driver_edge_limit).count()
+                 < driver_edge_limit else "distributed")
+    if merge == "driver":
+        map_df = _closure_driver(spark, edges_df)
+    elif merge == "distributed":
+        map_df = _closure_distributed(edges_df)
+    else:
+        raise ValueError("merge must be auto/driver/distributed")
+
+    if map_df is not None:
         out = (
             labelled.join(map_df, "clump_id", "left")
             .withColumn("clump_id", F.coalesce("root", "clump_id"))

@@ -285,3 +285,20 @@ def test_isodata_splits_and_merges(spark):
     per_blob = [set(labels[i * 200:(i + 1) * 200]) for i in range(3)]
     assert all(len(s) == 1 for s in per_blob)
     assert len(set().union(*per_blob)) == 3
+
+
+def test_clump_distributed_merge_equals_driver(spark):
+    import numpy as np
+
+    from rsgislib_spark.operators import clump as cl
+
+    rng = np.random.default_rng(13)
+    V = rng.integers(0, 2, size=(48, 48)).astype(float)
+    rows = [(int(x), int(y), float(V[y, x]))
+            for y in range(48) for x in range(48)]
+    grid = spark.createDataFrame(rows, "x BIGINT, y BIGINT, value DOUBLE")
+    a = {(r.x, r.y): r.clump_id
+         for r in cl.clump(grid, tile=16, merge="driver").collect()}
+    b = {(r.x, r.y): r.clump_id
+         for r in cl.clump(grid, tile=16, merge="distributed").collect()}
+    assert a == b
