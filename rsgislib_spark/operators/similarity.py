@@ -130,20 +130,65 @@ def lsh_neardup_pairs(df: DataFrame, threshold: float = 0.95,
     )
 
 
-def ivf_assign(df: DataFrame, n_centroids: int = 16, dim: int = 64,
-               id_col: str = "vec_id", vec_col: str = "embedding",
-               seed: int = 7) -> DataFrame:
-    """IVF coarse quantizer: nearest of n deterministic seeded
-    centroids (argmax dot on unit vectors). The centroid id is the
-    partition key for probe-side pruning — the Spark realization of
-    an inverted file: search joins on ivf_cell instead of scanning
-    the corpus. (k-means refinement would drop in here; seeded
-    random centroids keep the fixture deterministic.)"""
+def _seed_centroids(n_centroids: int, dim: int, seed: int):
     import numpy as np
 
     rng = np.random.default_rng(seed)
     cents = rng.standard_normal((n_centroids, dim))
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    return cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+
+def ivf_train_centroids(corpus: DataFrame, n_centroids: int = 16,
+                        dim: int = 64, n_iters: int = 5,
+                        vec_col: str = "embedding", seed: int = 7):
+    """Spherical k-means refinement of the IVF centroids (the
+    standard IVF training step): assign corpus vectors to their
+    nearest centroid (codegen argmax — the same expression the
+    quantizer uses), average per cell via posexplode + groupBy
+    (distributed; only the k x dim means reach the driver), then
+    renormalize. Empty cells keep their previous centroid."""
+    import numpy as np
+
+    cents = _seed_centroids(n_centroids, dim, seed)
+    for _ in range(n_iters):
+        assigned = ivf_assign(corpus, n_centroids, dim, vec_col=vec_col,
+                              centroids=cents)
+        means = (
+            assigned.select("ivf_cell",
+                            F.posexplode(F.col(vec_col)).alias("pos", "v"))
+            .groupBy("ivf_cell", "pos").agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        new = cents.copy()
+        acc = np.zeros((n_centroids, dim))
+        seen = np.zeros(n_centroids, dtype=bool)
+        for r in means:
+            acc[r["ivf_cell"], r["pos"]] = r["m"]
+            seen[r["ivf_cell"]] = True
+        norms = np.linalg.norm(acc, axis=1, keepdims=True)
+        ok = seen & (norms[:, 0] > 0)
+        new[ok] = acc[ok] / norms[ok]
+        if np.allclose(new, cents):
+            break
+        cents = new
+    return cents
+
+
+def ivf_assign(df: DataFrame, n_centroids: int = 16, dim: int = 64,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               seed: int = 7, centroids=None) -> DataFrame:
+    """IVF coarse quantizer: nearest of n centroids (argmax dot on
+    unit vectors). The centroid id is the partition key for
+    probe-side pruning — the Spark realization of an inverted file:
+    search joins on ivf_cell instead of scanning the corpus.
+    centroids: (n, dim) array — pass ivf_train_centroids output for
+    k-means-refined cells; None = deterministic seeded random (keeps
+    the gate fixture reproducible)."""
+    import numpy as np
+
+    cents = (np.asarray(centroids, dtype=np.float64) if centroids is not None
+             else _seed_centroids(n_centroids, dim, seed))
+    n_centroids = len(cents)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     # argmax via an array of scores — a when/otherwise chain would
     # duplicate the running best per level (exponential plan tree)
@@ -157,14 +202,14 @@ def ivf_assign(df: DataFrame, n_centroids: int = 16, dim: int = 64,
 
 def ivf_probe_cells(df: DataFrame, n_probe: int, n_centroids: int = 16,
                     dim: int = 64, vec_col: str = "embedding",
-                    seed: int = 7) -> DataFrame:
+                    seed: int = 7, centroids=None) -> DataFrame:
     """Top-``n_probe`` nearest centroids per vector (multi-probe IVF —
     the standard recall lever). Adds exploded ``ivf_cell``."""
     import numpy as np
 
-    rng = np.random.default_rng(seed)
-    cents = rng.standard_normal((n_centroids, dim))
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    cents = (np.asarray(centroids, dtype=np.float64) if centroids is not None
+             else _seed_centroids(n_centroids, dim, seed))
+    n_centroids = len(cents)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     scored = F.array(*[
         F.struct(
@@ -180,16 +225,19 @@ def ivf_probe_cells(df: DataFrame, n_probe: int, n_centroids: int = 16,
 def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
              n_centroids: int = 16, dim: int = 64,
              q_id: str = "vec_id", c_id: str = "vec_id",
-             vec_col: str = "embedding", n_probe: int = 4) -> DataFrame:
+             vec_col: str = "embedding", n_probe: int = 4,
+             centroids=None) -> DataFrame:
     """ANN top-k probing the query's ``n_probe`` nearest IVF cells
     (recall < 1 by design, measured against cosine_topk in tests).
     Corpus vectors live in exactly one cell; only the small query
     side fans out n_probe-fold."""
     from pyspark.sql import Window
 
-    q = ivf_probe_cells(queries, n_probe, n_centroids, dim, vec_col).select(
+    q = ivf_probe_cells(queries, n_probe, n_centroids, dim, vec_col,
+                        centroids=centroids).select(
         F.col(q_id).alias("q"), F.col(vec_col).alias("qv"), "ivf_cell")
-    c = ivf_assign(corpus, n_centroids, dim, c_id, vec_col).select(
+    c = ivf_assign(corpus, n_centroids, dim, c_id, vec_col,
+                   centroids=centroids).select(
         F.col(c_id).alias("c"), F.col(vec_col).alias("cv"), "ivf_cell")
     qd = F.transform("qv", lambda x: x.cast("double"))
     cd = F.transform("cv", lambda x: x.cast("double"))

@@ -80,3 +80,31 @@ def test_unit_vec_norms(spark, emb):
         "aggregate(unit, 0.0D, (a, x) -> a + x * x) AS n2").collect()
     for r in out:
         assert abs(r.n2 - 1.0) < 1e-9
+
+
+def test_ivf_trained_centroids_beat_random(spark, emb):
+    """Spherical k-means refinement: trained cells track the corpus
+    distribution, so at the SAME probe budget recall must not drop
+    (and typically rises) vs seeded random centroids."""
+    exact = {(r.q, r.c) for r in
+             similarity.cosine_topk(emb.where("vec_id < 32"), emb,
+                                    k=3).collect()}
+    cents = similarity.ivf_train_centroids(emb, n_centroids=16, dim=64,
+                                           n_iters=4)
+    assert cents.shape == (16, 64)
+    assert np.allclose(np.linalg.norm(cents, axis=1), 1.0)
+
+    def recall(centroids):
+        approx = {(r.q, r.c) for r in similarity.ivf_topk(
+            emb.where("vec_id < 32"), emb, k=3, n_probe=4,
+            centroids=centroids).collect()}
+        return len(approx & exact) / len(exact)
+
+    r_rand, r_trained = recall(None), recall(cents)
+    assert r_trained >= r_rand - 0.05, (r_rand, r_trained)
+    # corpus occupancy: trained cells should be less lopsided
+    occ_rand = similarity.ivf_assign(emb, 16, 64).groupBy("ivf_cell") \
+        .count().agg({"count": "max"}).collect()[0][0]
+    occ_tr = similarity.ivf_assign(emb, 16, 64, centroids=cents) \
+        .groupBy("ivf_cell").count().agg({"count": "max"}).collect()[0][0]
+    assert occ_tr <= occ_rand * 1.5
