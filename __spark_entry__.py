@@ -969,8 +969,11 @@ FROM scored WHERE rn <= 3 GROUP BY pt_id
 
 def q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """timeseries model fitting (timeseries/modelfitting.py:269):
-    per-user OLS trend of event value over event order. Rounded to 6
-    decimals — the two-pass sums are order-dependent across engines."""
+    per-user OLS trend of event value over event order — the pure-
+    codegen two-pass variant (fit_linear_trend_sql: no Arrow, both
+    aggregations map-side combinable; same two-pass algebra as the
+    oracle CTEs). Rounded to 6 decimals. The applyInPandas variant
+    (fit_linear_trend) is pytest-asserted equal."""
     from pyspark.sql import Window
 
     from rsgislib_spark.operators import timeseries
@@ -982,7 +985,7 @@ def q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.row_number().over(w)).cast("double").alias("t"),
         F.col("value").alias("v"),
     )
-    out = timeseries.fit_linear_trend(obs, ["user_id"], "t", "v")
+    out = timeseries.fit_linear_trend_sql(obs, ["user_id"], "t", "v")
     return out.select(
         "user_id", F.round("slope", 6).alias("slope"),
         F.round("intercept", 6).alias("intercept"), "n_obs")

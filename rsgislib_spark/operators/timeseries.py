@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 
 def fit_linear_trend(df: DataFrame, key_cols: list, t_col: str,
@@ -45,3 +45,34 @@ def fit_linear_trend(df: DataFrame, key_cols: list, t_col: str,
         for f in df.schema.fields if f.name in key_cols)
     schema = key_schema + ", slope DOUBLE, intercept DOUBLE, r2 DOUBLE, n_obs BIGINT"
     return df.groupBy(*key_cols).applyInPandas(_fit, schema=schema)
+
+
+def fit_linear_trend_sql(df: DataFrame, key_cols: list, t_col: str,
+                         value_col: str) -> DataFrame:
+    """Pure-codegen OLS — no Arrow, no Python: two map-side-combinable
+    aggregations (means, then centered moments) + closed forms. At
+    10^12 rows this is strictly better than the applyInPandas variant:
+    the raw observations never leave the JVM and both aggregations get
+    partial (map-side) combine. r2 = sxy^2/(sxx*syy); degenerate
+    groups (n<2 or zero t-variance) yield NULL instead of NaN."""
+    t, v = F.col(t_col), F.col(value_col)
+    m = df.groupBy(*key_cols).agg(
+        (F.sum(t) / F.count(t)).alias("_tm"),
+        (F.sum(v) / F.count(v)).alias("_vm"),
+        F.count("*").alias("n_obs"),
+    )
+    j = df.join(m, key_cols)
+    ct, cv = t - F.col("_tm"), v - F.col("_vm")
+    fit = j.groupBy(*key_cols).agg(
+        (F.sum(ct * cv) / F.sum(ct * ct)).alias("slope"),
+        (F.sum(ct * cv) * F.sum(ct * cv)
+         / (F.sum(ct * ct) * F.sum(cv * cv))).alias("r2"),
+        F.any_value("_tm").alias("_tm"),
+        F.any_value("_vm").alias("_vm"),
+        F.any_value("n_obs").alias("n_obs"),
+    )
+    return fit.select(
+        *key_cols, "slope",
+        (F.col("_vm") - F.col("slope") * F.col("_tm")).alias("intercept"),
+        "r2", "n_obs",
+    )

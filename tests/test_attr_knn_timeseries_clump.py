@@ -302,3 +302,25 @@ def test_clump_distributed_merge_equals_driver(spark):
     b = {(r.x, r.y): r.clump_id
          for r in cl.clump(grid, tile=16, merge="distributed").collect()}
     assert a == b
+
+
+def test_fit_linear_trend_sql_matches_pandas(spark):
+    import numpy as np
+
+    from rsgislib_spark.operators import timeseries
+
+    rng = np.random.default_rng(8)
+    rows = []
+    for key in range(20):
+        for t in range(30):
+            rows.append((key, float(t), float(key * t + rng.normal(0, 1))))
+    df = spark.createDataFrame(rows, "pix BIGINT, t DOUBLE, v DOUBLE")
+    a = {r.pix: r for r in timeseries.fit_linear_trend(
+        df, ["pix"], "t", "v").collect()}
+    b = {r.pix: r for r in timeseries.fit_linear_trend_sql(
+        df, ["pix"], "t", "v").collect()}
+    for k in a:
+        assert b[k].slope == pytest.approx(a[k].slope, rel=1e-9)
+        assert b[k].intercept == pytest.approx(a[k].intercept, rel=1e-9, abs=1e-9)
+        assert b[k].r2 == pytest.approx(a[k].r2, rel=1e-9)
+        assert b[k].n_obs == a[k].n_obs
