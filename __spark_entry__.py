@@ -1572,6 +1572,30 @@ def q_dissolve_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vector_geom.dissolve(layer, by="grp").select("grp", "area")
 
 
+def q_buffer_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """buffer_vec_geoms (vectorgeoms/__init__.py:3276): Minkowski-disk
+    buffer via scanline union of polygon + edge quads + vertex disks.
+    k=4 (exact taxicab diamond) over integer rectangles keeps every
+    trapezoid corner integer/half-integer exact, so the area has the
+    closed form w*h + 2*(w+h)*r + 2*r^2 — the oracle — bit-exactly."""
+    from rsgislib_spark.operators import vector_geom
+
+    base = spark.read.parquet(f"{sf_dir}/nation.parquet").selectExpr(
+        *_OVL_A_EXPRS)
+    layer = _rect_wkb_df(base, "a_id")
+    return vector_geom.buffer_polygons(layer, dist=2.0, k=4).select(
+        "a_id", F.col("buf_area").alias("area"))
+
+
+def q_buffer_area_sql() -> str:
+    return (
+        "SELECT CAST(n_nationkey AS BIGINT) AS a_id, "
+        "CAST((5+(n_nationkey*7919)%25) * (5+(n_nationkey*104729)%20)"
+        " + 2*((5+(n_nationkey*7919)%25) + (5+(n_nationkey*104729)%20))*2"
+        " + 2*2*2 AS DOUBLE) AS area FROM nation"
+    )
+
+
 def q_dissolve_union_sql() -> str:
     return (
         "SELECT CAST(n_nationkey AS BIGINT) AS grp, "
@@ -1648,6 +1672,7 @@ _REGISTRY: dict[str, tuple] = {
     "overlay_intersection": (q_overlay_intersection, q_overlay_intersection_sql),
     "overlay_difference": (q_overlay_difference, q_overlay_difference_sql),
     "dissolve_union": (q_dissolve_union, q_dissolve_union_sql),
+    "buffer_area": (q_buffer_area, q_buffer_area_sql),
 }
 
 

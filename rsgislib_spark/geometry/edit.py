@@ -96,9 +96,15 @@ def simplify_polygon(rings: list, tol: float) -> list:
 
 
 def disk_ngon(cx: float, cy: float, r: float, k: int = 16) -> np.ndarray:
-    """k-gon approximation of a disk (GEOS quadsegs-style)."""
-    ang = np.linspace(0.0, 2.0 * np.pi, k, endpoint=False)
-    ring = np.column_stack([cx + r * np.cos(ang), cy + r * np.sin(ang)])
+    """k-gon approximation of a disk (GEOS quadsegs-style). k=4 is the
+    exact taxicab diamond (vertices on the axes, no cos/sin ulps) so
+    integer-coordinate buffers stay exactly representable."""
+    if k == 4:
+        ring = np.array([[cx + r, cy], [cx, cy + r],
+                         [cx - r, cy], [cx, cy - r]])
+    else:
+        ang = np.linspace(0.0, 2.0 * np.pi, k, endpoint=False)
+        ring = np.column_stack([cx + r * np.cos(ang), cy + r * np.sin(ang)])
     return np.vstack([ring, ring[:1]])
 
 
