@@ -63,3 +63,49 @@ def test_stream_resumes_from_checkpoint(spark, tmp_path):
         ingest.stream_pages(spark, src), res=5, window="1 hour")
     ingest.run_available_now(counts2, out, ckpt)
     assert spark.read.parquet(out).count() == n1
+
+
+def test_stateful_first_seen_dedup_across_batches(spark, tmp_path):
+    """State must persist ACROSS micro-batch runs via the checkpoint:
+    a URL recrawled in a later batch is dropped."""
+    import datetime as dt
+
+    from rsgislib_spark.streaming import ingest, stateful
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def rows(batch):
+        return spark.createDataFrame(
+            batch, "url STRING, warc_ts TIMESTAMP, html BINARY, "
+                   "text STRING, lang STRING")
+
+    rows([
+        ("http://a/1", t0, None, "first crawl a", "en"),
+        ("http://a/1", t0 + dt.timedelta(minutes=5), None, "dup in batch", "en"),
+        ("http://b/2", t0, None, "first crawl b", "en"),
+    ]).write.mode("append").parquet(src)
+
+    stream = ingest.stream_pages(spark, src)
+    deduped = stateful.first_seen_dedup(stream)
+    ingest.run_available_now(deduped, out, ckpt)
+
+    got1 = {r.url: r.text for r in spark.read.parquet(out).collect()}
+    assert got1 == {"http://a/1": "first crawl a",
+                    "http://b/2": "first crawl b"}
+
+    # second batch: one recrawl (must be dropped) + one new url
+    rows([
+        ("http://a/1", t0 + dt.timedelta(hours=1), None, "recrawl a", "en"),
+        ("http://c/3", t0 + dt.timedelta(hours=1), None, "first crawl c", "en"),
+    ]).write.mode("append").parquet(src)
+
+    deduped2 = stateful.first_seen_dedup(ingest.stream_pages(spark, src))
+    ingest.run_available_now(deduped2, out, ckpt)
+
+    got2 = {r.url: r.text for r in spark.read.parquet(out).collect()}
+    assert got2 == {"http://a/1": "first crawl a",
+                    "http://b/2": "first crawl b",
+                    "http://c/3": "first crawl c"}
