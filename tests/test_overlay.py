@@ -175,3 +175,44 @@ def test_spark_union_and_identity_areas(spark):
     assert sum(r.area for r in u.collect()) == 150.0  # 100+100-50
     ident = ovl.identity(a, b, res=6)
     assert sum(r.area for r in ident.collect()) == 100.0  # partitions a
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 40),
+              st.integers(1, 12), st.integers(1, 12)),
+    min_size=1, max_size=6))
+def test_rect_set_union_matches_grid_oracle(rects):
+    """Union of arbitrary overlapping INTEGER rectangles vs a dumb
+    per-cell rasterization oracle — exercises parity bookkeeping with
+    many coincident/crossing edges."""
+    polys = [rect(x0, y0, x0 + w, y0 + h) for x0, y0, w, h in rects]
+    got = boolean_area(polys, [], "union")
+    M = np.zeros((60, 60), dtype=bool)
+    for x0, y0, w, h in rects:
+        M[y0:y0 + h, x0:x0 + w] = True
+    assert got == float(M.sum())
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 40),
+              st.integers(1, 12), st.integers(1, 12)),
+    min_size=1, max_size=4),
+    st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 40),
+              st.integers(1, 12), st.integers(1, 12)),
+    min_size=1, max_size=4))
+def test_rect_set_boolean_ops_match_grid_oracle(ra, rb):
+    A = [rect(x0, y0, x0 + w, y0 + h) for x0, y0, w, h in ra]
+    B = [rect(x0, y0, x0 + w, y0 + h) for x0, y0, w, h in rb]
+    MA = np.zeros((60, 60), dtype=bool)
+    MB = np.zeros((60, 60), dtype=bool)
+    for x0, y0, w, h in ra:
+        MA[y0:y0 + h, x0:x0 + w] = True
+    for x0, y0, w, h in rb:
+        MB[y0:y0 + h, x0:x0 + w] = True
+    assert boolean_area(A, B, "intersection") == float((MA & MB).sum())
+    assert boolean_area(A, B, "difference") == float((MA & ~MB).sum())
+    assert boolean_area(A, B, "sym_difference") == float((MA ^ MB).sum())
+    assert boolean_area(A, B, "union") == float((MA | MB).sum())
