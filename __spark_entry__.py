@@ -104,6 +104,29 @@ def q_tile_assign_sql() -> str:
     return f"WITH pts AS ({PTS_SQL}) SELECT pt_id, " + ", ".join(exprs) + " FROM pts"
 
 
+def q_hex_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """create_hex_grid_* (vectorutils/createvectors.py:1237,1346) as a
+    true flat-top hexagonal index: axial + cube rounding as ONE shared
+    SQL template (identical tree on both engines — even rounding-tie
+    points land identically). Counts per hex cell (5-degree hexes)."""
+    from rsgislib_spark.cells import hexgrid
+
+    cell = hexgrid.hex_cell_sql("lon", "lat", 5.0)
+    return (
+        _points(spark, sf_dir)
+        .selectExpr(f"{cell} AS hex_cell")
+        .groupBy("hex_cell").agg(F.count("*").alias("n_pts"))
+    )
+
+
+def q_hex_assign_sql() -> str:
+    from rsgislib_spark.cells import hexgrid
+
+    cell = hexgrid.hex_cell_sql("lon", "lat", 5.0)
+    return (f"WITH pts AS ({PTS_SQL}) SELECT {cell} AS hex_cell, "
+            f"COUNT(*) AS n_pts FROM pts GROUP BY 1")
+
+
 def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parent-cell rollup: res-9 counts aggregated to res 5 —
     get_img_sum_stats_in_pxl semantics (imagecalc.cpp:2384): stats of
@@ -1611,6 +1634,7 @@ def q_dissolve_union_sql() -> str:
 _REGISTRY: dict[str, tuple] = {
     "tile_assign": (q_tile_assign, q_tile_assign_sql),
     "cell_rollup": (q_cell_rollup, q_cell_rollup_sql),
+    "hex_assign": (q_hex_assign, q_hex_assign_sql),
     "spatial_join_within": (q_spatial_join_within, q_spatial_join_within_sql),
     "spatial_join_left": (q_spatial_join_left, q_spatial_join_left_sql),
     "count_pt_intersects": (q_count_pt_intersects, q_count_pt_intersects_sql),

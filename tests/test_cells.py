@@ -104,3 +104,41 @@ def test_adaptive_cover_res_bounds():
     r_big = quadcell.adaptive_cover_res(-180, -90, 180, 90)
     assert r_small > r_big
     assert 5 <= r_big <= 13 and 5 <= r_small <= 13
+
+
+def test_hex_assignment_is_nearest_center():
+    import numpy as np
+
+    from rsgislib_spark.cells import hexgrid
+
+    rng = np.random.default_rng(6)
+    x = rng.uniform(-50, 50, 500)
+    y = rng.uniform(-50, 50, 500)
+    s = 5.0
+    q, r = hexgrid.hex_qr_np(x, y, s)
+    cx, cy = hexgrid.hex_center_np(q.astype(float), r.astype(float), s)
+    d_own = np.hypot(x - cx, y - cy)
+    # no neighbouring hex center is strictly closer
+    for dq, dr in [(1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)]:
+        nx, ny = hexgrid.hex_center_np((q + dq).astype(float),
+                                       (r + dr).astype(float), s)
+        assert (np.hypot(x - nx, y - ny) >= d_own - 1e-9).all(), (dq, dr)
+    # all points are within one circumradius of their center
+    assert (d_own <= s + 1e-9).all()
+
+
+def test_hex_grid_cells_cover_bbox():
+    import numpy as np
+
+    from rsgislib_spark.cells import hexgrid
+
+    cells = hexgrid.hex_grid_cells(-20, -20, 20, 20, size=5.0)
+    assert len(cells) > 10
+    q = cells // hexgrid.PACK - hexgrid.HALF
+    r = cells % hexgrid.PACK - hexgrid.HALF
+    cx, cy = hexgrid.hex_center_np(q.astype(float), r.astype(float), 5.0)
+    assert (cx >= -20).all() and (cx <= 20).all()
+    assert (cy >= -20).all() and (cy <= 20).all()
+    # sql/np parity on the centers' own assignment
+    q2, r2 = hexgrid.hex_qr_np(cx, cy, 5.0)
+    assert (q2 == q).all() and (r2 == r).all()
