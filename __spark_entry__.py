@@ -616,6 +616,52 @@ FROM events
 """
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization — gap > 30 min starts a new session (running sum
+    of new-session flags over the per-user event order); per-session
+    event count + duration. The stateful-window member of the rubric;
+    the streaming twin is streaming/stateful.py."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_sess = F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1) \
+        .otherwise(0)
+    sess = ev.withColumn(
+        "session_seq",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(F.count("*").alias("n_events"),
+             (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts")))
+             .alias("dur_us"))
+    )
+
+
+def q_sessionize_sql() -> str:
+    return """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events),
+s AS (
+  SELECT user_id, ts,
+         SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                  THEN 1 ELSE 0 END) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM g)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+       MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS dur_us
+FROM s GROUP BY user_id, session_seq
+"""
+
+
 def q_bbox_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """spatial_select_bbox (vectorutils/__init__.py:3716) /
     get_att_lst_select_bbox_feats (:1269): pure bbox predicate —
@@ -1660,6 +1706,7 @@ _REGISTRY: dict[str, tuple] = {
     "rollup_agg": (q_rollup_agg, q_rollup_agg_sql),
     "cat_proportions": (q_cat_proportions, q_cat_proportions_sql),
     "event_deltas": (q_event_deltas, q_event_deltas_sql),
+    "sessionize": (q_sessionize, q_sessionize_sql),
     "bbox_select": (q_bbox_select, q_bbox_select_sql),
     "knn_kring": (q_knn_kring, q_knn_nearest_site_sql),
     # raster ops

@@ -266,3 +266,29 @@ def simhash_dup_groups(df: DataFrame, id_col: str = "doc_id",
     if max_ids is not None:
         out = out.withColumn("doc_ids", F.slice("doc_ids", 1, max_ids))
     return out
+
+
+def near_dup_groups(pairs: DataFrame) -> DataFrame:
+    """Collapse near-duplicate PAIRS (from minhash_lsh_pairs /
+    ngram_jaccard_pairs / simhash_near_pairs) into duplicate GROUPS —
+    connected components over the pair graph, the step a real corpus
+    dedup pipeline runs before choosing per-group keepers.
+
+    Reuses the clump module's distributed label closure (iterative
+    neighbour-min + pointer jumping): never collects the pair set.
+    Output: (doc_id, group_id) for every document in some group;
+    group_id = the group's minimum doc_id (deterministic keeper)."""
+    from .clump import _closure_distributed
+
+    edges = pairs.selectExpr("a AS la", "b AS lb")
+    remap = _closure_distributed(edges)  # (clump_id=node, root) where differing
+    nodes = (
+        edges.selectExpr("la AS doc_id")
+        .union(edges.selectExpr("lb AS doc_id")).distinct()
+    )
+    return (
+        nodes.join(remap.withColumnRenamed("clump_id", "doc_id"),
+                   "doc_id", "left")
+        .withColumn("group_id", F.coalesce("root", "doc_id"))
+        .drop("root")
+    )

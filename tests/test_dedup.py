@@ -134,3 +134,13 @@ def test_simhash_near_pairs_matches_bruteforce(spark):
             want[(a, b)] = d
     assert got == want
     assert (1, 3) in got and got[(1, 3)] == 0  # identical docs
+
+
+def test_near_dup_groups_connected_components(spark):
+    from rsgislib_spark.operators import dedup as dd
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (10, 11), (9, 12)], "a BIGINT, b BIGINT")
+    got = {r.doc_id: r.group_id
+           for r in dd.near_dup_groups(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7, 12: 7, 10: 10, 11: 10}
