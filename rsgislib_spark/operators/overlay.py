@@ -23,6 +23,10 @@ Scale notes:
   MultiPolygon WKB for downstream ops; the reference returns dissolved
   GEOS geometries — a documented representation divergence (areas and
   coverage are identical; tests assert area equality).
+- Coordinates are treated as PLANAR: antimeridian-crossing polygons
+  must be unwrapped first (predicates.unwrap_antimeridian, the same
+  ingest step the spatial join uses) — identical caveat to the
+  reference's geopandas overlays.
 """
 
 from __future__ import annotations

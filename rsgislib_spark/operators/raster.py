@@ -518,6 +518,21 @@ def _distance_dense(grid: DataFrame, target_value: float, band: int,
         _edt, schema="x BIGINT, y BIGINT, dist DOUBLE")
 
 
+def pixels_to_points(grid: DataFrame, target_value: float,
+                     origin_x: float, origin_y: float, res: float,
+                     band: int = 1) -> DataFrame:
+    """vectorise_pxls_to_pts (vectorutils/createvectors.py:124-225):
+    pixels holding target_value → their center points — a pure
+    codegen filter + projection (the reference runs a RIOS block
+    applier collecting x/y arrays)."""
+    lon, lat = pixel_center_exprs(origin_x, origin_y, res)
+    return (
+        grid.where((F.col("band") == band)
+                   & (F.col("value") == target_value))
+        .selectExpr("x", "y", f"{lon} AS lon", f"{lat} AS lat")
+    )
+
+
 def mosaic(tiles: DataFrame, how: str = "max",
            skip_val: float | None = None) -> DataFrame:
     """Merge overlapping tile pixel rows into one raster

@@ -188,3 +188,15 @@ def test_focal_argmin_and_coeff_of_var(spark, grid, value_mat):
     for (x, y) in [(10, 10), (64, 64)]:
         win = V[max(y - 1, 0):y + 2, max(x - 1, 0):x + 2]
         assert cv[(x, y)] == pytest.approx(win.std() / win.mean(), rel=1e-12)
+
+
+def test_pixels_to_points_centers(spark, grid, value_mat):
+    target = 3.0
+    got = {(r.x, r.y): (r.lon, r.lat) for r in raster.pixels_to_points(
+        grid, target, OX, OY, RES).collect()}
+    V = value_mat
+    want = {(int(x), int(y)) for y, x in zip(*np.nonzero(V == target))}
+    assert set(got) == want
+    for (x, y), (lon, lat) in list(got.items())[:20]:
+        assert lon == OX + (x + 0.5) * RES
+        assert lat == OY - (y + 0.5) * RES
