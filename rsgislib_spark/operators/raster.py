@@ -106,7 +106,7 @@ def extract_point_values(points: DataFrame, grid: DataFrame,
 
 
 FOCAL_STATS = {"mean", "min", "max", "median", "stddev", "sum", "range",
-               "total", "coeff_of_var"}
+               "total", "coeff_of_var", "var", "norm_var", "mode"}
 
 
 def _halo_tile_explode(grid: DataFrame, tile: int, h: int) -> DataFrame:
@@ -192,6 +192,30 @@ def focal_filter(grid: DataFrame, stat: str = "mean", k: int = 3,
                 out = np.nanmax(w, axis=1) - np.nanmin(w, axis=1)
             elif stat_name == "coeff_of_var":
                 out = np.nanstd(w, axis=1) / np.nanmean(w, axis=1)
+            elif stat_name == "var":
+                out = np.nanvar(w, axis=1)
+            elif stat_name == "norm_var":
+                out = np.nanvar(w, axis=1) / np.nanmean(w, axis=1)
+            elif stat_name == "mode":
+                # vectorized windowed mode, smallest value on ties:
+                # sort each window (NaN sorts last), run-length the
+                # equal runs, take the value of the longest run (first
+                # longest = smallest value since rows are sorted)
+                ws = np.sort(w, axis=1)
+                n, m = ws.shape
+                newrun = np.ones((n, m), dtype=bool)
+                newrun[:, 1:] = ws[:, 1:] != ws[:, :-1]
+                run_id = np.cumsum(newrun, axis=1) - 1
+                counts = np.zeros((n, m), dtype=np.int64)
+                np.add.at(counts, (np.arange(n)[:, None], run_id),
+                          ~np.isnan(ws))
+                best_run = np.argmax(counts, axis=1)  # first max
+                # column index where run best_run starts
+                first_col = np.full((n, m), m - 1, dtype=np.int64)
+                cols = np.broadcast_to(np.arange(m), (n, m))
+                np.minimum.at(first_col, (np.arange(n)[:, None], run_id),
+                              np.where(newrun, cols, m - 1))
+                out = ws[np.arange(n), first_col[np.arange(n), best_run]]
         return pd.DataFrame({"x": hx, "y": hy, "focal": out})
 
     return exploded.groupBy("_tile").applyInPandas(

@@ -200,3 +200,22 @@ def test_pixels_to_points_centers(spark, grid, value_mat):
     for (x, y), (lon, lat) in list(got.items())[:20]:
         assert lon == OX + (x + 0.5) * RES
         assert lat == OY - (y + 0.5) * RES
+
+
+def test_focal_mode_var_matches_numpy(spark):
+    # coarse-valued grid so windows have real ties/modes
+    rng = np.random.default_rng(21)
+    V = rng.integers(0, 4, size=(40, 40)).astype(float)
+    rows = [(int(x), int(y), 1, float(V[y, x]))
+            for y in range(40) for x in range(40)]
+    g = spark.createDataFrame(rows, "x BIGINT, y BIGINT, band INT, value DOUBLE")
+    got_mode = {(r.x, r.y): r.focal for r in
+                raster.focal_filter(g, "mode", k=3, tile=16).collect()}
+    got_var = {(r.x, r.y): r.focal for r in
+               raster.focal_filter(g, "var", k=3, tile=16).collect()}
+    for (x, y) in [(0, 0), (5, 5), (15, 16), (39, 39), (16, 15), (20, 3)]:
+        win = V[max(y - 1, 0):y + 2, max(x - 1, 0):x + 2].ravel()
+        vals, counts = np.unique(win, return_counts=True)
+        want_mode = float(vals[np.argmax(counts)])  # smallest on ties
+        assert got_mode[(x, y)] == want_mode, (x, y)
+        assert got_var[(x, y)] == pytest.approx(win.var(), rel=1e-12)
