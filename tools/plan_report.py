@@ -42,6 +42,16 @@ CHECKS = {
         forbid=["hashpartitioning(url", "hashpartitioning(html",
                 "hashpartitioning(text", "Exchange SinglePartition"],
     ),
+    "overlay candidate pairs (cell join + bbox prefilter)": dict(
+        expect=["BroadcastHashJoin"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    "clump border equivalence edges (equi-join on shifted coords)": dict(
+        expect=["FlatMapGroupsInPandas"],
+        # the r2-fixed anti-pattern: an OR'd adjacency condition made
+        # this a nested-loop join over the whole raster
+        forbid=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    ),
     "parquet filter pushdown (pt_id = 42)": dict(
         expect=["PushedFilters: [IsNotNull(pt_id), EqualTo(pt_id,42)]"],
         forbid=[],
@@ -98,6 +108,28 @@ def main():
         pts = geoparse(spark.read.parquet(tmp)).where("lon IS NOT NULL")
         return sj.spatial_join(pts, idx, how="left")
 
+    def overlay_pairs():
+        from rsgislib_spark.geometry import wkb as wkb_codec
+        from rsgislib_spark.operators import overlay as ovl
+
+        def layer(ids):
+            return spark.createDataFrame(
+                [(i, wkb_codec.polygon_to_wkb(
+                    [[(i, 0.0), (i + 5.0, 0.0), (i + 5.0, 5.0),
+                      (i, 5.0)]])) for i in ids],
+                "a_id BIGINT, geometry BINARY")
+
+        a = layer(range(0, 40, 2))
+        b = layer(range(1, 40, 2)).withColumnRenamed("a_id", "b_id")
+        return ovl.intersection(a, b, res=6)
+
+    def clump_edges():
+        from rsgislib_spark.operators import clump as cl
+
+        grid = fixtures.grid_df(spark, bands=(1,)).selectExpr(
+            "x", "y", "CAST(((x DIV 5) + (y DIV 5)) % 2 AS DOUBLE) AS value")
+        return cl.clump(grid, tile=64)
+
     def pushdown():
         p = "/tmp/plan_pts.parquet"
         derived.points_df(spark, sf).write.mode("overwrite").parquet(p)
@@ -114,7 +146,8 @@ def main():
         return spark.read.parquet(p).where(f"cell_r5 = {a_cell}")
 
     dfs = dict(zip(CHECKS, [headline, spatial, zonal_q, minhash, unq_ids,
-                            sj_left_pages, pushdown, partition_prune]))
+                            sj_left_pages, overlay_pairs, clump_edges,
+                            pushdown, partition_prune]))
 
     out = ["# PLANS — physical-plan evidence (generated by tools/plan_report.py)",
            "",
