@@ -163,7 +163,8 @@ def q_spatial_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     """perform_spatial_join(join_how='left'): unmatched points kept
     with null poly_id (vectorattrs/__init__.py:1276 join_how)."""
     pts = _points(spark, sf_dir)
-    return sj.spatial_join(pts, _poly_index(), how="left").select(
+    return sj.spatial_join(pts, _poly_index(), how="left",
+                           pt_id_col="pt_id").select(
         "pt_id", "poly_id")
 
 
@@ -194,7 +195,8 @@ def q_annotate_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """annotate_vec_selection (vectorattrs/__init__.py:1158): boolean
     intersects-any flag per point."""
     pts = _points(spark, sf_dir)
-    return sj.annotate_selection(pts, _poly_index()).select("pt_id", "sel")
+    return sj.annotate_selection(pts, _poly_index(),
+                                 pt_id_col="pt_id").select("pt_id", "sel")
 
 
 def q_annotate_selection_sql() -> str:

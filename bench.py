@@ -129,10 +129,14 @@ def main() -> None:
                           r"\s*([0-9,.]+)", txt)
             if m:
                 sc["pages_per_sec_32c"] = float(m.group(1).replace(",", ""))
-        # all raw efficiencies present in the evidence file
-        raws = re.findall(r"\*\*(0\.[0-9]+)\*\*", txt)
+        # all raw efficiencies from the two-run TABLE rows only (a
+        # bare bold-number findall would also match the ceiling bullet
+        # in the tool's regenerated single-run format)
+        raws = re.findall(r"\|\s*\*\*(0\.[0-9]+)\*\*\s*\|", txt)
         if raws:
             sc["raw_all_runs"] = [float(v) for v in raws]
+        elif "raw" in sc:
+            sc["raw_all_runs"] = [sc["raw"]]
         out["scaling_2x4_executors"] = sc
     print(json.dumps(out))
 

@@ -46,11 +46,13 @@ def geoparse(pages: DataFrame, gazetteer: DataFrame | None = None,
         # split() would build a per-row array, and allocation-bound
         # string ops thread-scale at ~0.74 instead of ~0.97 on this
         # class of host (measured; same reason the regexp path loses).
-        pos = F.locate(" geo:", F.col("text"))  # 1-based; 0 = absent
+        # search a space-PREFIXED copy so a marker at position 0
+        # ("geo:1,2 ...") matches like the regexp path's bare 'geo:'
+        prefixed = F.concat(F.lit(" "), F.col("text"))
+        pos = F.locate(" geo:", prefixed)  # 1-based; 0 = absent
         tail = F.when(
             pos > 0,
-            F.substring_index(
-                F.col("text").substr(pos + 5, F.lit(64)), " ", 1),
+            F.substring_index(prefixed.substr(pos + 5, F.lit(64)), " ", 1),
         )
         df = pages.withColumn(
             "_geo_lon", F.substring_index(tail, ",", 1).try_cast("double")

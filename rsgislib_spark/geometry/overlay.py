@@ -79,31 +79,39 @@ def _edges(polys: list, layer: int, pid0: int):
     return np.vstack(segs), np.concatenate(pids), pid
 
 
-def _crossing_ys(E: np.ndarray, pid: np.ndarray) -> np.ndarray:
+def _crossing_ys(E: np.ndarray, pid: np.ndarray,
+                 chunk: int = 512) -> np.ndarray:
     """y-coordinates of proper interior crossings between edges of
     DIFFERENT polygons (same-polygon edges of a simple ring never
-    properly cross; endpoint touches are covered by vertex ys)."""
+    properly cross; endpoint touches are covered by vertex ys).
+
+    Pairwise test is O(n^2) work but evaluated in row CHUNKS so peak
+    memory is O(chunk * n), not O(n^2) — a dissolve group with
+    thousands of edges must not OOM the Python worker."""
     n = len(E)
     if n < 2:
         return np.empty(0)
     x1, y1, x2, y2 = E[:, 0], E[:, 1], E[:, 2], E[:, 3]
     dx, dy = x2 - x1, y2 - y1
-    # pairwise (i, j): p1_i + t*d_i == p1_j + s*d_j
-    denom = dx[:, None] * dy[None, :] - dy[:, None] * dx[None, :]
-    ex = x1[None, :] - x1[:, None]
-    ey = y1[None, :] - y1[:, None]
-    with np.errstate(divide="ignore", invalid="ignore"):
-        t = (ex * dy[None, :] - ey * dx[None, :]) / denom
-        s = (ex * dy[:, None] - ey * dx[:, None]) / denom
-    ok = (
-        (denom != 0)
-        & (t > 0.0) & (t < 1.0) & (s > 0.0) & (s < 1.0)
-        & (pid[:, None] != pid[None, :])
-    )
-    ii = np.nonzero(ok)
-    if len(ii[0]) == 0:
-        return np.empty(0)
-    return y1[ii[0]] + t[ii] * dy[ii[0]]
+    out = []
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        # pairwise (i in chunk, j): p1_i + t*d_i == p1_j + s*d_j
+        denom = dx[lo:hi, None] * dy[None, :] - dy[lo:hi, None] * dx[None, :]
+        ex = x1[None, :] - x1[lo:hi, None]
+        ey = y1[None, :] - y1[lo:hi, None]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (ex * dy[None, :] - ey * dx[None, :]) / denom
+            s = (ex * dy[lo:hi, None] - ey * dx[lo:hi, None]) / denom
+        ok = (
+            (denom != 0)
+            & (t > 0.0) & (t < 1.0) & (s > 0.0) & (s < 1.0)
+            & (pid[lo:hi, None] != pid[None, :])
+        )
+        ii = np.nonzero(ok)
+        if len(ii[0]):
+            out.append(y1[lo + ii[0]] + t[ii] * dy[lo + ii[0]])
+    return np.concatenate(out) if out else np.empty(0)
 
 
 def boolean_pieces(polys_a: list, polys_b: list, op: str):

@@ -64,17 +64,31 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
     max_ids caps the collected doc_ids list per group — at 100 TB a
     mega-duplicate boilerplate page ("404 not found") can have 10^8
     copies and an unbounded collect_list blows the aggregation buffer.
-    keep_id/n_copies stay exact either way."""
-    out = (
-        df.select(F.col(id_col).alias("doc_id"), F.md5(text_col).alias("h"))
+    The cap is applied BEFORE aggregation (per-group row_number rank
+    filter — slicing after collect_list would still materialize the
+    full array in the agg buffer); keep_id/n_copies stay exact, from a
+    separate uncapped count-only aggregation."""
+    hashed = df.select(F.col(id_col).alias("doc_id"),
+                       F.md5(text_col).alias("h"))
+    if max_ids is None:
+        return (
+            hashed.groupBy("h")
+            .agg(F.min("doc_id").alias("keep_id"),
+                 F.count("*").alias("n_copies"),
+                 F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+        )
+    from pyspark.sql import Window
+
+    stats = hashed.groupBy("h").agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    w = Window.partitionBy("h").orderBy("doc_id")
+    capped = (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= max_ids)
         .groupBy("h")
-        .agg(F.min("doc_id").alias("keep_id"),
-             F.count("*").alias("n_copies"),
-             F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
     )
-    if max_ids is not None:
-        out = out.withColumn("doc_ids", F.slice("doc_ids", 1, max_ids))
-    return out
+    return stats.join(capped, "h")
 
 
 def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
@@ -254,18 +268,28 @@ def simhash_dup_groups(df: DataFrame, id_col: str = "doc_id",
                        max_ids: int | None = None) -> DataFrame:
     """Documents sharing an identical simhash (distance-0 groups;
     banded Hamming-k search composes from the same primitive).
-    max_ids caps the per-group id list like exact_dedup's — boilerplate
-    mega-groups at 100 TB must not blow the aggregation buffer."""
+    max_ids caps the per-group id list like exact_dedup's — applied
+    BEFORE aggregation (rank filter) so the agg buffer itself is
+    bounded, not just the output row."""
     sh = simhash64(df, id_col, text_col)
-    out = (
-        sh.groupBy("simhash")
-        .agg(F.count("*").alias("n_docs"),
-             F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
-        .where(F.col("n_docs") > 1)
+    if max_ids is None:
+        return (
+            sh.groupBy("simhash")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+            .where(F.col("n_docs") > 1)
+        )
+    from pyspark.sql import Window
+
+    stats = sh.groupBy("simhash").agg(F.count("*").alias("n_docs"))         .where(F.col("n_docs") > 1)
+    w = Window.partitionBy("simhash").orderBy("doc_id")
+    capped = (
+        sh.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= max_ids)
+        .groupBy("simhash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
     )
-    if max_ids is not None:
-        out = out.withColumn("doc_ids", F.slice("doc_ids", 1, max_ids))
-    return out
+    return stats.join(capped, "simhash")
 
 
 def near_dup_groups(pairs: DataFrame) -> DataFrame:

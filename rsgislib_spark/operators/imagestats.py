@@ -194,7 +194,7 @@ def split_window_thresholds(grid: DataFrame, win: int = 64,
 
     def _thres(key, pdf):
         vals = pdf["value"].to_numpy(dtype=np.float64)
-        if len(vals) <= min_n_vals:
+        if len(vals) < min_n_vals:  # keep windows with exactly min_n
             return pd.DataFrame({"wx": pd.array([], dtype="int64"),
                                  "wy": pd.array([], dtype="int64"),
                                  "n_pix": pd.array([], dtype="int64"),

@@ -85,12 +85,15 @@ def isodata_cluster(df: DataFrame, feat_cols: list, n_clusters: int = 8,
 
     for _ in range(max_n_iters):
         assigned = assign(centers)
-        stats = (
+        stats = sorted(
             assigned.groupBy(out_col)
             .agg(F.count("*").alias("n"),
                  *[F.avg(c).alias(f"m_{c}") for c in feat_cols],
                  *[F.stddev_pop(c).alias(f"s_{c}") for c in feat_cols])
-            .collect()
+            .collect(),
+            key=lambda r: r[out_col],  # collect() order is partition-
+            # arrival: sort so split/merge order (and thus the final
+            # centroids) is deterministic run-to-run
         )
         new_centers = []
         for r in stats:

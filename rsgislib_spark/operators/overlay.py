@@ -141,10 +141,25 @@ def intersection(a: DataFrame, b: DataFrame, res: int = 6,
 
 
 def sym_difference(a: DataFrame, b: DataFrame, res: int = 6,
-                   **kw) -> DataFrame:
-    """vec_lyr_sym_difference_gp, per candidate pair."""
-    return _pair_op(candidate_pairs(a, b, res, **kw), "sym_difference",
-                    keep_empty=True)
+                   id_a: str = "a_id", geom_a: str = "geometry",
+                   id_b: str = "b_id", geom_b: str = "geometry") -> DataFrame:
+    """vec_lyr_sym_difference_gp — LAYER-level symmetric difference
+    (union minus intersection): the a−(union of B) pieces (b_id null)
+    plus the b−(union of A) pieces (a_id null). Composing from the two
+    multi-clipper differences keeps non-overlapping polygons whole and
+    never double-counts multi-clipper overlaps (a per-PAIR sym-diff
+    would do both)."""
+    kw = dict(id_a=id_a, geom_a=geom_a, id_b=id_b, geom_b=geom_b)
+    a_rem = difference(a, b, res, **kw).withColumn(
+        "b_id", F.lit(None).cast("bigint"))
+    b_rem = (
+        difference(b, a, res, id_a=id_b, geom_a=geom_b,
+                   id_b=id_a, geom_b=geom_a)
+        .withColumnRenamed("a_id", "b_id")
+        .withColumn("a_id", F.lit(None).cast("bigint"))
+    )
+    cols = ["a_id", "b_id", "area", "n_pieces", "pieces"]
+    return a_rem.select(*cols).unionByName(b_rem.select(*cols))
 
 
 def difference(a: DataFrame, b: DataFrame, res: int = 6,

@@ -114,6 +114,11 @@ def _halo_tile_explode(grid: DataFrame, tile: int, h: int) -> DataFrame:
     halo (width h) it falls in — the reference's tile+overlap trick
     (imageutils.cpp:2061) as an explode. Requires h < tile (each pixel
     covers at most the 3x3 neighbouring tiles)."""
+    if h >= tile:
+        raise ValueError(
+            f"halo {h} >= tile {tile}: a window would need pixels from "
+            "beyond the 3x3 neighbour tiles and would silently truncate "
+            "— raise tile (or shrink the kernel)")
     gx = (F.col("x") / tile).cast("long")
     gy = (F.col("y") / tile).cast("long")
     cand = []

@@ -166,7 +166,8 @@ class PolygonIndex:
 
 def spatial_join(points: DataFrame, index: PolygonIndex, how: str = "inner",
                  lon: str = "lon", lat: str = "lat",
-                 broadcast_max_cover: int = 4_000_000) -> DataFrame:
+                 broadcast_max_cover: int = 4_000_000,
+                 pt_id_col: str | None = None) -> DataFrame:
     """Join points to the polygons containing them.
 
     how='inner' → matched (point, poly) pairs (a point in k polygons
@@ -181,15 +182,28 @@ def spatial_join(points: DataFrame, index: PolygonIndex, how: str = "inner",
         raise ValueError(f"join_how must be inner/left/right/left_semi, got {how}")
 
     spark = points.sparkSession
-    # Non-inner hows rejoin matches to the input. Tag every point with
-    # a temp unique id FIRST (the reference's own trick,
-    # vectorutils/__init__.py:1585) so the join-back key is one long —
-    # never the full payload columns (html/text would become shuffle
-    # keys, duplicate rows would fan out multiplicatively, and a NULL
-    # column would make the null-unsafe equi-join drop matched rows).
-    pt_id = "__sj_pt_id"
-    if how != "inner":
-        points = points.withColumn(pt_id, F.monotonically_increasing_id())
+    # Non-inner hows rejoin matches to the input. The join-back key is
+    # ONE column (the reference's own temp-unique-id trick,
+    # vectorutils/__init__.py:1585) — never the full payload columns
+    # (html/text would become shuffle keys, duplicate rows would fan
+    # out multiplicatively, and a NULL column would make the
+    # null-unsafe equi-join drop matched rows).
+    #
+    # pt_id_col: pass the layer's natural unique key (url, pt_id) —
+    # the robust zero-cost path. Without one, a temp
+    # monotonically_increasing_id is generated; because the id is
+    # re-evaluated on BOTH sides of the self-join, the tagged frame is
+    # persisted so a nondeterministically-ordered upstream (e.g. a
+    # shuffle output) cannot assign different ids per branch.
+    tagged_persisted = False
+    if pt_id_col is not None:
+        pt_id = pt_id_col
+    else:
+        pt_id = "__sj_pt_id"
+        if how != "inner":
+            points = points.withColumn(
+                pt_id, F.monotonically_increasing_id()).persist()
+            tagged_persisted = True
     cover = index.cover_df(spark)
     if len(index.cover_rows()) <= broadcast_max_cover:
         cover = F.broadcast(cover)
@@ -225,6 +239,7 @@ def spatial_join(points: DataFrame, index: PolygonIndex, how: str = "inner",
         .drop("cell", "xmin", "ymin", "xmax", "ymax")
     )
 
+    temp_cols = [pt_id] if tagged_persisted else []
     if how == "inner":
         return matched
     if how == "left_semi":
@@ -232,18 +247,18 @@ def spatial_join(points: DataFrame, index: PolygonIndex, how: str = "inner",
         # payload columns; LEFT SEMI keeps the probe side unshuffled
         # wide (only the id survives to the join key)
         hit_ids = matched.select(pt_id).dropDuplicates([pt_id])
-        return points.join(hit_ids, pt_id, "left_semi").drop(pt_id)
+        return points.join(hit_ids, pt_id, "left_semi").drop(*temp_cols)
     if how == "right":
         ids = spark.createDataFrame(
             [(p["poly_id"],) for p in index.polys], "poly_id BIGINT")
-        out_cols = [c for c in points.columns if c != pt_id]
+        out_cols = [c for c in points.columns if c not in temp_cols]
         return ids.join(matched.select(*out_cols, "poly_id"),
                         "poly_id", "left")
     # left: keep unmatched points with null poly_id; join back on the
     # single id key (matched side carries only id + poly_id)
     return (
         points.join(matched.select(pt_id, "poly_id"), pt_id, "left")
-        .drop(pt_id)
+        .drop(*temp_cols)
     )
 
 
@@ -264,13 +279,20 @@ def count_points_per_polygon(points: DataFrame, index: PolygonIndex,
 
 def annotate_selection(points: DataFrame, index: PolygonIndex,
                        flag_col: str = "sel", lon: str = "lon",
-                       lat: str = "lat") -> DataFrame:
+                       lat: str = "lat",
+                       pt_id_col: str | None = None) -> DataFrame:
     """annotate_vec_selection semantics
     (vectorattrs/__init__.py:1158): boolean flag = point intersects
-    any polygon. Implemented as a left-semi probe on a temp unique id
-    (never the payload columns — see spatial_join's pt_id note)."""
-    pt_id = "__sj_pt_id"
-    tagged = points.withColumn(pt_id, F.monotonically_increasing_id())
+    any polygon. Implemented as an id-keyed probe (never the payload
+    columns — see spatial_join's pt_id note; pass pt_id_col when the
+    layer has a natural unique key, else a persisted temp id)."""
+    if pt_id_col is not None:
+        pt_id, tagged, temp = pt_id_col, points, []
+    else:
+        pt_id = "__sj_pt_id"
+        tagged = points.withColumn(
+            pt_id, F.monotonically_increasing_id()).persist()
+        temp = [pt_id]
     hit_ids = (
         spatial_join(tagged, index, how="inner", lon=lon, lat=lat)
         .select(pt_id).dropDuplicates([pt_id])
@@ -279,5 +301,5 @@ def annotate_selection(points: DataFrame, index: PolygonIndex,
     return (
         tagged.join(hit_ids, pt_id, "left")
         .withColumn(flag_col, F.coalesce(F.col(flag_col), F.lit(False)))
-        .drop(pt_id)
+        .drop(*temp)
     )

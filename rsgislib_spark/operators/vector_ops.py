@@ -65,7 +65,10 @@ def dense_ids(df: DataFrame, cols: list, out_col: str) -> DataFrame:
 
     Returns (cols..., out_col) — broadcast-join it back to the input.
     The distinct side is persisted so both passes see identical range
-    boundaries."""
+    boundaries; the cache is the distinct VALUES only (small) and is
+    left to Spark's LRU eviction because the returned frame still
+    references it lazily (callers doing many id assignments in one
+    session can spark.catalog.clearCache() between stages)."""
     spark = df.sparkSession
     vals = (
         df.select(*cols).distinct()

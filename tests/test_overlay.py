@@ -216,3 +216,21 @@ def test_rect_set_boolean_ops_match_grid_oracle(ra, rb):
     assert boolean_area(A, B, "difference") == float((MA & ~MB).sum())
     assert boolean_area(A, B, "sym_difference") == float((MA ^ MB).sum())
     assert boolean_area(A, B, "union") == float((MA | MB).sum())
+
+
+def test_spark_sym_difference_layer_semantics(spark):
+    from rsgislib_spark.operators import overlay as ovl
+
+    # a1 overlaps b1; a2 and b2 are untouched — layer sym-diff keeps
+    # both whole and counts the overlap zero times
+    a = _layer(spark, [(1, 0, 0, 10, 10), (2, 40, 40, 44, 44)])
+    b = _layer(spark, [(7, 5, 0, 15, 10), (8, 60, 60, 62, 62)]) \
+        .withColumnRenamed("a_id", "b_id")
+    rows = ovl.sym_difference(a, b, res=6).collect()
+    total = sum(r.area for r in rows)
+    # (100-50) + (100-50) + 16 + 4
+    assert total == 120.0
+    by_a = {r.a_id: r.area for r in rows if r.a_id is not None}
+    by_b = {r.b_id: r.area for r in rows if r.b_id is not None}
+    assert by_a == {1: 50.0, 2: 16.0}
+    assert by_b == {7: 50.0, 8: 4.0}
