@@ -193,3 +193,29 @@ def dissolve(df: DataFrame, by: str, geom_col: str = "geometry") -> DataFrame:
         _diss,
         schema=(f"{by} {by_type[by]}, area DOUBLE, n_pieces INT, "
                 "geometry BINARY"))
+
+
+def alpha_shape(df: DataFrame, by: str, alpha: float,
+                lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """create_alpha_shape (vectorgeoms/__init__.py:1587): per group,
+    the alpha shape of its points — Bowyer-Watson Delaunay + circum-
+    radius filter + scanline union (geometry/delaunay.py; no
+    scipy/alphashape in the sandbox). alpha <= 0 gives the convex
+    hull region. One groupBy; each group triangulates locally, the
+    same per-feature shape as the reference."""
+    from ..geometry import delaunay as dl
+
+    def _shape(key, pdf):
+        pts = np.column_stack([pdf[lon].to_numpy(dtype=np.float64),
+                               pdf[lat].to_numpy(dtype=np.float64)])
+        pieces, area = dl.alpha_shape(pts, alpha)
+        return pd.DataFrame(
+            [(key[0], float(area), len(pieces),
+              wkb.multipolygon_to_wkb([[p] for p in pieces]) if pieces
+              else None)],
+            columns=[by, "area", "n_pieces", "geometry"])
+
+    by_type = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    return df.select(by, lon, lat).groupBy(by).applyInPandas(
+        _shape, schema=(f"{by} {by_type[by]}, area DOUBLE, "
+                        "n_pieces INT, geometry BINARY"))

@@ -127,3 +127,30 @@ def test_spark_dissolve_overlap_counted_once(spark):
     got = {r.grp: r.area
            for r in vector_geom.dissolve(df, by="grp").collect()}
     assert got == {7: 150.0, 9: 4.0}
+
+
+def test_alpha_shape_core_properties():
+    from rsgislib_spark.geometry.delaunay import alpha_shape as ash
+
+    g = np.array([[x, y] for x in range(5) for y in range(5)], float)
+    assert ash(g, 0)[1] == 16.0            # convex hull of the grid
+    assert ash(g, 1 / 0.8)[1] == 16.0      # unit triangles all kept
+    # two distant clusters: tight alpha keeps only intra-cluster area
+    c1 = np.array([[0, 0], [1, 0], [0, 1], [1, 1]], float)
+    both = np.vstack([c1, c1 + 100.0])
+    assert ash(both, 1 / 0.8)[1] == 2.0
+    assert ash(both, 0)[1] > 100.0         # hull spans the gap
+
+
+def test_alpha_shape_spark_groups(spark):
+    from rsgislib_spark.operators import vector_geom
+
+    rows = []
+    for gid, off in [(1, 0.0), (2, 50.0)]:
+        for x in range(4):
+            for y in range(4):
+                rows.append((gid, off + x, off + y))
+    df = spark.createDataFrame(rows, "gid BIGINT, lon DOUBLE, lat DOUBLE")
+    out = {r.gid: r.area for r in
+           vector_geom.alpha_shape(df, by="gid", alpha=1 / 0.8).collect()}
+    assert out == {1: 9.0, 2: 9.0}  # 3x3 unit squares each
