@@ -1352,6 +1352,35 @@ WHERE n / CAST(sa.sz + sb.sz - n AS DOUBLE) >= 0.5
 """
 
 
+def q_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS: exact-Jaccard pairs collapsed to connected
+    components via the distributed label closure (dedup.
+    near_dup_groups) — the keeper-selection step of a corpus dedup
+    pipeline. Oracle: the bit-exact pair SQL + a recursive-CTE
+    closure; group_id = min doc_id per component on both sides."""
+    from rsgislib_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    return dedup.near_dup_groups(pairs)
+
+
+def q_neardup_groups_sql() -> str:
+    pair_sql = q_ngram_jaccard_sql().strip().removeprefix("WITH")
+    return f"""
+WITH RECURSIVE {pair_sql.replace("SELECT a, b,", ", pairs AS (SELECT a, b,", 1)}
+),
+edges AS (SELECT a AS la, b AS lb FROM pairs
+          UNION ALL SELECT b, a FROM pairs),
+reach AS (
+  SELECT la AS node, la AS lbl FROM edges
+  UNION
+  SELECT e.lb, r.lbl FROM reach r JOIN edges e ON e.la = r.node
+)
+SELECT node AS doc_id, MIN(lbl) AS group_id FROM reach GROUP BY node
+"""
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banding LSH near-dup candidates, exact-verified
     (rows-only gate; recall vs brute force is asserted in pytest)."""
@@ -1734,6 +1763,7 @@ _REGISTRY: dict[str, tuple] = {
     "zonal_masked": (q_zonal_masked, q_zonal_masked_sql),
     # webtext / training-data ops
     "ngram_jaccard": (q_ngram_jaccard, q_ngram_jaccard_sql),
+    "neardup_groups": (q_neardup_groups, q_neardup_groups_sql),
     "minhash_lsh": (q_minhash_lsh, None),
     "simhash_groups": (q_simhash_groups, None),
     "doc_fingerprint": (q_doc_fingerprint, q_doc_fingerprint_sql),
