@@ -142,3 +142,21 @@ def test_hex_grid_cells_cover_bbox():
     # sql/np parity on the centers' own assignment
     q2, r2 = hexgrid.hex_qr_np(cx, cy, 5.0)
     assert (q2 == q).all() and (r2 == r).all()
+
+
+def test_hex_sql_matches_numpy_on_spark(spark):
+    import numpy as np
+
+    from rsgislib_spark.cells import hexgrid
+
+    rng = np.random.default_rng(17)
+    rows = [(i, float(rng.uniform(-170, 170)), float(rng.uniform(-85, 85)))
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "i BIGINT, lon DOUBLE, lat DOUBLE")
+    got = {r.i: r.cell for r in df.select(
+        "i", hexgrid.hex_cell_col("lon", "lat", 5.0).alias("cell")).collect()}
+    lon = np.array([r[1] for r in rows])
+    lat = np.array([r[2] for r in rows])
+    q, r_ = hexgrid.hex_qr_np(lon, lat, 5.0)
+    want = (q + hexgrid.HALF) * hexgrid.PACK + (r_ + hexgrid.HALF)
+    assert [got[i] for i in range(400)] == want.tolist()
