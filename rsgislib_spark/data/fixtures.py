@@ -128,7 +128,9 @@ GRID_DUCKDB_SQL = (
 def grid_df(spark, bands=(1,)):
     """Long-format pixel table built from spark.range (no data files
     — the create_blank_img analog, python/src/imageutils.cpp:2389)."""
-    base = spark.range(GRID_W * GRID_H).selectExpr(
+    # 8 partitions: the fixture is 16k rows — 32 scheduler tasks of
+    # 512 rows each would cost more than the compute
+    base = spark.range(0, GRID_W * GRID_H, 1, 8).selectExpr(
         f"CAST(id % {GRID_W} AS BIGINT) AS x",
         f"CAST(FLOOR(id / {GRID_W}.0) AS BIGINT) AS y",
     )

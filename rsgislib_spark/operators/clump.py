@@ -103,10 +103,9 @@ class _UF:
             self.p[max(ra, rb)] = min(ra, rb)
 
 
-def _closure_driver(spark, edges_df: DataFrame) -> DataFrame | None:
+def _closure_from_rows(spark, edges) -> DataFrame | None:
     """Label-graph closure on the driver (edges scale with tile
     perimeter ≈ sqrt(pixels) — tiny relative to the raster)."""
-    edges = edges_df.collect()
     uf = _UF()
     for e in edges:
         uf.union(e.la, e.lb)
@@ -210,11 +209,15 @@ def clump(grid: DataFrame, tile: int = 64,
     )
 
     if merge == "auto":
-        merge = ("driver"
-                 if edges_df.limit(driver_edge_limit).count()
-                 < driver_edge_limit else "distributed")
-    if merge == "driver":
-        map_df = _closure_driver(spark, edges_df)
+        # one job decides AND (in the common case) delivers the edge
+        # rows — never compute the edge join twice
+        rows = edges_df.limit(driver_edge_limit).collect()
+        if len(rows) < driver_edge_limit:
+            map_df = _closure_from_rows(spark, rows)
+        else:
+            map_df = _closure_distributed(edges_df)
+    elif merge == "driver":
+        map_df = _closure_from_rows(spark, edges_df.collect())
     elif merge == "distributed":
         map_df = _closure_distributed(edges_df)
     else:
