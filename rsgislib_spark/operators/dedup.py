@@ -292,24 +292,38 @@ def simhash_dup_groups(df: DataFrame, id_col: str = "doc_id",
     return stats.join(capped, "simhash")
 
 
-def near_dup_groups(pairs: DataFrame) -> DataFrame:
+def near_dup_groups(pairs: DataFrame,
+                    driver_edge_limit: int = 2_000_000) -> DataFrame:
     """Collapse near-duplicate PAIRS (from minhash_lsh_pairs /
     ngram_jaccard_pairs / simhash_near_pairs) into duplicate GROUPS —
     connected components over the pair graph, the step a real corpus
     dedup pipeline runs before choosing per-group keepers.
 
-    Reuses the clump module's distributed label closure (iterative
-    neighbour-min + pointer jumping): never collects the pair set.
-    Output: (doc_id, group_id) for every document in some group;
-    group_id = the group's minimum doc_id (deterministic keeper)."""
-    from .clump import _closure_distributed
+    Pair graphs are usually tiny relative to the corpus: up to
+    driver_edge_limit edges the closure is a driver union-find over
+    ONE collected batch (same pattern as clump's border merge); bigger
+    graphs switch to the distributed iterative neighbour-min closure,
+    which never touches the driver. Output: (doc_id, group_id) for
+    every document in some group; group_id = the group's minimum
+    doc_id (deterministic keeper)."""
+    from .clump import _closure_distributed, _closure_from_rows
 
+    spark = pairs.sparkSession
     edges = pairs.selectExpr("a AS la", "b AS lb")
-    remap = _closure_distributed(edges)  # (clump_id=node, root) where differing
-    nodes = (
-        edges.selectExpr("la AS doc_id")
-        .union(edges.selectExpr("lb AS doc_id")).distinct()
-    )
+    rows = edges.limit(driver_edge_limit).collect()
+    if len(rows) < driver_edge_limit:
+        remap = _closure_from_rows(spark, rows)
+        node_ids = sorted({r.la for r in rows} | {r.lb for r in rows})
+        nodes = spark.createDataFrame(
+            [(int(n),) for n in node_ids], "doc_id BIGINT")
+        if remap is None:
+            return nodes.withColumn("group_id", F.col("doc_id"))
+    else:
+        remap = _closure_distributed(edges)
+        nodes = (
+            edges.selectExpr("la AS doc_id")
+            .union(edges.selectExpr("lb AS doc_id")).distinct()
+        )
     return (
         nodes.join(remap.withColumnRenamed("clump_id", "doc_id"),
                    "doc_id", "left")
