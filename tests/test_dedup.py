@@ -144,3 +144,16 @@ def test_near_dup_groups_connected_components(spark):
     got = {r.doc_id: r.group_id
            for r in dd.near_dup_groups(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7, 12: 7, 10: 10, 11: 10}
+
+
+def test_near_dup_groups_distributed_path_matches(spark):
+    from rsgislib_spark.operators import dedup as dd
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (10, 11), (9, 12)], "a BIGINT, b BIGINT")
+    small = {r.doc_id: r.group_id
+             for r in dd.near_dup_groups(pairs).collect()}
+    forced = {r.doc_id: r.group_id
+              for r in dd.near_dup_groups(pairs,
+                                          driver_edge_limit=1).collect()}
+    assert small == forced
