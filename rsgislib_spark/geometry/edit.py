@@ -31,25 +31,61 @@ def simplify_ring(ring: np.ndarray, tol: float) -> np.ndarray:
     first = _dp(pts[: mid + 1], tol)   # chain 0..mid (both kept)
     second = _dp(pts[mid:], tol)       # chain mid..last (both kept)
     out = np.vstack([first[:-1], second])  # drop the shared mid once
-    # the chain anchors (vertex 0, mid, last) were kept unconditionally
-    # — sweep the ring removing any vertex within tol of its
-    # neighbours' chord (still respects the max-deviation bound)
-    changed = True
-    while changed and len(out) > 3:
-        changed = False
-        for i in range(len(out)):
-            a, b, c = out[i - 1], out[i], out[(i + 1) % len(out)]
-            ac = c - a
-            L2 = float(ac @ ac)
-            t = 0.0 if L2 == 0.0 else min(max(float((b - a) @ ac) / L2, 0.0), 1.0)
-            d = float(np.hypot(*(b - (a + t * ac))))
-            if d <= tol:
-                out = np.delete(out, i, axis=0)
-                changed = True
-                break
+    # The chain anchors (vertex 0, mid, and the last vertex — the two
+    # chains' endpoints) were kept unconditionally by the split, not
+    # because they exceed tol. Try removing ONLY those three — and
+    # test each removal against the ORIGINAL ring vertices spanned by
+    # the new chord (true DP semantics), never against
+    # already-simplified neighbours, so removals cannot compound past
+    # the tol bound.
+    kept = _kept_indices(pts, out)
+    if kept is not None:
+        for anchor in (mid, len(pts) - 1, 0):
+            if len(kept) <= 3 or anchor not in kept:
+                continue
+            j = kept.index(anchor)
+            p, n = kept[j - 1], kept[(j + 1) % len(kept)]
+            span = (list(range(p + 1, n)) if p < n
+                    else list(range(p + 1, len(pts))) + list(range(0, n)))
+            if _max_chord_dev(pts, span, pts[p], pts[n]) <= tol:
+                kept.pop(j)
+        out = pts[kept]
     if len(out) < 3:  # degenerate: keep the anchor triangle
         out = pts[[0, mid, min(mid + 1, len(pts) - 1)]]
     return np.vstack([out, out[:1]])
+
+
+def _kept_indices(pts: np.ndarray, out: np.ndarray) -> list | None:
+    """Map simplified vertices back to their original ring indices
+    (in ring order). None if any vertex fails to match (shouldn't
+    happen — DP only drops points)."""
+    idx, j = [], 0
+    for v in out:
+        while j < len(pts) and not np.array_equal(pts[j], v):
+            j += 1
+        if j == len(pts):
+            return None
+        idx.append(j)
+        j += 1
+    return idx
+
+
+def _max_chord_dev(pts: np.ndarray, span: list, a: np.ndarray,
+                   c: np.ndarray) -> float:
+    """Max distance of the ORIGINAL vertices in ``span`` from segment
+    a-c (0.0 for an empty span)."""
+    if not span:
+        return 0.0
+    seg = pts[span]
+    ac = c - a
+    L2 = float(ac @ ac)
+    if L2 == 0.0:
+        d = np.hypot(seg[:, 0] - a[0], seg[:, 1] - a[1])
+    else:
+        t = np.clip(((seg - a) @ ac) / L2, 0.0, 1.0)
+        proj = a + t[:, None] * ac
+        d = np.hypot(seg[:, 0] - proj[:, 0], seg[:, 1] - proj[:, 1])
+    return float(d.max())
 
 
 def _dp(pts: np.ndarray, tol: float) -> np.ndarray:

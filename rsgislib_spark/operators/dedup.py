@@ -30,6 +30,33 @@ from pyspark.sql import DataFrame, functions as F
 # ANSI arithmetic.
 _P = (1 << 31) - 1
 
+# --- portable 60-bit hash -------------------------------------------
+# xxhash64 is JVM-only; the driver's DuckDB oracle cannot evaluate it.
+# hash_mode="portable" swaps every hash for the first 15 hex chars of
+# md5 read as an integer — the SAME value in Spark, DuckDB, and
+# hashlib, so the whole minhash/simhash pipeline becomes bit-exactly
+# SQL-checkable. Production keeps the xxhash64 default (codegen, no
+# hex round-trip).
+
+#: Spark SQL expression template ({x} = column/expr producing STRING)
+PORTABLE_HASH_SPARK = "CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def portable_hash_duckdb(x: str) -> str:
+    """DuckDB SQL for the same 60-bit integer (no conv() in DuckDB —
+    explicit base-16 polynomial over the 15 hex chars)."""
+    terms = " + ".join(
+        f"(CAST(strpos('0123456789abcdef', substr(md5({x}), {i + 1}, 1)) - 1 "
+        f"AS BIGINT)) * {16 ** (14 - i)}"
+        for i in range(15))
+    return "(" + terms + ")"
+
+
+def _hash64(col: str, hash_mode: str):
+    if hash_mode == "portable":
+        return F.expr(PORTABLE_HASH_SPARK.format(x=col))
+    return F.xxhash64(col)
+
 
 def _perm_params(n_perm: int, seed: int = 42):
     import random
@@ -93,12 +120,20 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
                         id_col: str = "doc_id", text_col: str = "text",
-                        n: int = 3, max_df: int | None = None) -> DataFrame:
+                        n: int = 3, max_df: int | None = 1000) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (a < b, jaccard >= t).
 
     |A ∩ B| from the shingle self-join; |A ∪ B| = |A| + |B| - ∩.
-    max_df drops shingles appearing in more than max_df docs (join
-    fan-out bound for 100 TB corpora; None = exact).
+    max_df drops shingles appearing in more than max_df docs. The
+    default is FINITE on purpose: the shingle self-join fans out
+    quadratically per shingle bucket, and at 100 TB a boilerplate
+    shingle ("all rights reserved ...") in 10^8 docs would alone emit
+    10^16 pairs — an unbounded default is a scale foot-gun. 1000 caps
+    any one shingle's bucket at 10^6 pairs (one task's worth) and a
+    shingle shared by >1000 docs is boilerplate, not near-dup signal
+    (jaccard is then computed over the surviving informative
+    shingles). Pass max_df=None only for small corpora where exact
+    parity with a brute-force oracle is required.
     """
     sh = shingles(df, id_col, text_col, n)
     if max_df is not None:
@@ -128,13 +163,15 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
 
 def minhash_signatures(df: DataFrame, n_perm: int = 32,
                        id_col: str = "doc_id", text_col: str = "text",
-                       n: int = 3, seed: int = 42) -> DataFrame:
+                       n: int = 3, seed: int = 42,
+                       hash_mode: str = "xxhash64") -> DataFrame:
     """(doc_id, sig: array<bigint>) MinHash signatures.
 
-    One pass: shingle -> xxhash64 -> per-permutation affine hash ->
-    min aggregate. All JVM-side (no UDF)."""
+    One pass: shingle -> hash64 -> per-permutation affine hash ->
+    min aggregate. All JVM-side (no UDF). hash_mode="portable" uses
+    the md5-derived hash the DuckDB oracle can replicate."""
     sh = shingles(df, id_col, text_col, n).withColumn(
-        "hv", F.pmod(F.xxhash64("shingle"), F.lit(_P)))
+        "hv", F.pmod(_hash64("shingle", hash_mode), F.lit(_P)))
     aggs = [
         F.min((F.col("hv") * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"m{i}")
         for i, (a, b) in enumerate(_perm_params(n_perm, seed))
@@ -146,7 +183,8 @@ def minhash_signatures(df: DataFrame, n_perm: int = 32,
 def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5,
                       n_perm: int = 32, bands: int = 8,
                       id_col: str = "doc_id", text_col: str = "text",
-                      n: int = 3, seed: int = 42) -> DataFrame:
+                      n: int = 3, seed: int = 42,
+                      hash_mode: str = "xxhash64") -> DataFrame:
     """Banding-LSH candidate generation + exact-jaccard verification.
 
     bands * rows_per_band == n_perm; a pair collides if any band of
@@ -154,15 +192,30 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5,
     only form within small buckets, never a cross join).
     Output: (a, b, jaccard) with jaccard the EXACT n-gram jaccard of
     the verified candidates (so precision is 1; recall is the LSH
-    probability curve)."""
+    probability curve).
+
+    hash_mode="portable": md5-derived shingle hash AND the raw band
+    value string as the bucket key (no band hash at all) — the exact
+    candidate set is then reproducible in the DuckDB oracle; the
+    default hashes each band slice to one 64-bit key (smaller shuffle
+    rows, collision risk 2^-64 and collisions are exact-verified
+    anyway)."""
     rows = n_perm // bands
-    sig = minhash_signatures(df, n_perm, id_col, text_col, n, seed)
-    band_cols = [
-        F.struct(F.lit(bi).alias("band"),
-                 F.xxhash64(F.slice("sig", bi * rows + 1, rows).cast("string"))
-                 .alias("bh"))
-        for bi in range(bands)
-    ]
+    sig = minhash_signatures(df, n_perm, id_col, text_col, n, seed, hash_mode)
+    if hash_mode == "portable":
+        band_cols = [
+            F.struct(F.lit(bi).alias("band"),
+                     F.array_join(F.slice("sig", bi * rows + 1, rows)
+                                  .cast("array<string>"), ",").alias("bh"))
+            for bi in range(bands)
+        ]
+    else:
+        band_cols = [
+            F.struct(F.lit(bi).alias("band"),
+                     F.xxhash64(F.slice("sig", bi * rows + 1, rows).cast("string"))
+                     .alias("bh"))
+            for bi in range(bands)
+        ]
     buckets = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk"))
     l = buckets.select(F.col("doc_id").alias("a"), "bk")
     r = buckets.select(F.col("doc_id").alias("b"), "bk")
@@ -198,15 +251,19 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5,
 
 
 def simhash64(df: DataFrame, id_col: str = "doc_id",
-              text_col: str = "text") -> DataFrame:
+              text_col: str = "text",
+              hash_mode: str = "xxhash64") -> DataFrame:
     """64-bit SimHash over word tokens: per bit, sign of the sum of
     +-1 votes from each token's xxhash64. All JVM-side: explode
-    tokens, aggregate 64 conditional sums, reassemble bits."""
+    tokens, aggregate 64 conditional sums, reassemble bits.
+    hash_mode="portable": md5-derived 60-bit token hash (bits 60-63
+    then always vote -1 — a 60-bit fingerprint) so the DuckDB oracle
+    can replicate the fingerprint bit-for-bit."""
     toks = (
         df.select(F.col(id_col).alias("doc_id"),
                   F.explode(F.split(text_col, " ")).alias("tok"))
         .where(F.length("tok") > 0)
-        .withColumn("hv", F.xxhash64("tok"))
+        .withColumn("hv", _hash64("tok", hash_mode))
     )
     votes = toks.groupBy("doc_id").agg(*[
         F.sum(F.when(F.shiftright("hv", i).bitwiseAND(F.lit(1)) == 1,
@@ -265,13 +322,14 @@ def simhash_near_pairs(df: DataFrame, k: int = 3, id_col: str = "doc_id",
 
 def simhash_dup_groups(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
-                       max_ids: int | None = None) -> DataFrame:
+                       max_ids: int | None = None,
+                       hash_mode: str = "xxhash64") -> DataFrame:
     """Documents sharing an identical simhash (distance-0 groups;
     banded Hamming-k search composes from the same primitive).
     max_ids caps the per-group id list like exact_dedup's — applied
     BEFORE aggregation (rank filter) so the agg buffer itself is
     bounded, not just the output row."""
-    sh = simhash64(df, id_col, text_col)
+    sh = simhash64(df, id_col, text_col, hash_mode)
     if max_ids is None:
         return (
             sh.groupBy("simhash")

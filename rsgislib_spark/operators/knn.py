@@ -88,7 +88,8 @@ def knn_kring(points: DataFrame, sites: DataFrame, res: int | None = None,
               lon: str = "lon", lat: str = "lat",
               site_id: str = "site_id", site_lon: str = "site_lon",
               site_lat: str = "site_lat",
-              max_rings: int = 8, init_r: int | None = None) -> DataFrame:
+              max_rings: int = 8, init_r: int | None = None,
+              pt_id_col: str | None = None) -> DataFrame:
     """k=1 nearest neighbour via iterative k-ring expansion join — the
     shuffle path for LARGE site tables.
 
@@ -98,6 +99,14 @@ def knn_kring(points: DataFrame, sites: DataFrame, res: int | None = None,
     r-1 full cell heights away (cell_h = lat cell size, the smaller
     guarantee). Unresolved points go to the next round with r doubled.
     Falls back to a broadcast argmin for stragglers past max_rings.
+
+    The iterative loop runs on a SLIM frame — one id key + lon/lat +
+    cell. The payload (url/html/text on the pages schema) never
+    becomes a shuffle/groupBy/anti-join key (the spatial_join pt_id
+    discipline); it is joined back exactly once at the end. Pass
+    pt_id_col when the layer has a natural unique key; without one a
+    temp monotonically_increasing_id is materialized via an eager
+    localCheckpoint (stable across both loop branches).
 
     res / init_r: cell resolution and starting ring radius. None
     derives both from site density — expected nearest-site spacing ~
@@ -115,7 +124,15 @@ def knn_kring(points: DataFrame, sites: DataFrame, res: int | None = None,
         if res is None:
             res = int(np.clip(np.floor(np.log2(180.0 / est_spacing)), 1, 12))
     cell_h = 180.0 / (1 << res)  # degrees of latitude per cell
-    pts = points.withColumn("cell", quadcell.cell_col(lon, lat, res))
+
+    temp_id = pt_id_col is None
+    pid = pt_id_col if pt_id_col is not None else "__knn_pt_id"
+    pts_full = points
+    if temp_id:
+        pts_full = points.withColumn(
+            pid, F.monotonically_increasing_id()).localCheckpoint()
+    pts = pts_full.select(pid, lon, lat).withColumn(
+        "cell", quadcell.cell_col(lon, lat, res))
     sts = sites.withColumn("scell", quadcell.cell_col(site_lon, site_lat, res))
 
     if init_r is None:
@@ -138,8 +155,9 @@ def knn_kring(points: DataFrame, sites: DataFrame, res: int | None = None,
                 + (F.col(lat) - F.col(site_lat)) * (F.col(lat) - F.col(site_lat)),
             )
         )
+        # groupBy on the SINGLE id key — the per-point argmin
         best = (
-            cand.groupBy(*[remaining[c] for c in remaining.columns])
+            cand.groupBy(pid)
             .agg(
                 F.min_by(F.col(site_id),
                          F.struct(F.col("d2").alias("a"),
@@ -153,12 +171,11 @@ def knn_kring(points: DataFrame, sites: DataFrame, res: int | None = None,
         guarantee = (r * cell_h) ** 2
         final = best.where(F.col("nn_dist_sq") <= F.lit(guarantee))
         resolved = final if resolved is None else resolved.unionByName(final)
-        matched_keys = final.select(*points.columns)
         # persist each round's remainder: the anti-join chain would
         # otherwise re-execute all previous rounds every iteration
         # (iterative-algorithm lineage growth)
         prev = remaining
-        remaining = remaining.join(matched_keys, points.columns, "left_anti").persist()
+        remaining = remaining.join(final.select(pid), pid, "left_anti").persist()
         n_remaining = remaining.count()
         prev.unpersist()
         if n_remaining == 0:
@@ -175,12 +192,15 @@ def knn_kring(points: DataFrame, sites: DataFrame, res: int | None = None,
             raise RuntimeError(
                 "knn_kring exhausted max_rings with a site table too "
                 "large to broadcast — raise max_rings or coarsen res")
-        tail = knn_broadcast(remaining.drop("cell"), sites, k=1,
-                             lon=lon, lat=lat, site_id=site_id,
-                             site_lon=site_lon, site_lat=site_lat).drop("nn_rank")
-        resolved = tail if resolved is None else resolved.drop("cell").unionByName(tail)
-        return resolved
-    return resolved.drop("cell") if "cell" in resolved.columns else resolved
+        tail = knn_broadcast(
+            remaining.drop("cell"), sites, k=1, lon=lon, lat=lat,
+            site_id=site_id, site_lon=site_lon, site_lat=site_lat,
+        ).select(pid, "nn_site_id", "nn_dist_sq")
+        resolved = tail if resolved is None else resolved.unionByName(tail)
+    remaining.unpersist()
+    # payload joined back ONCE on the id key
+    out = pts_full.join(resolved, pid, "inner")
+    return out.drop(pid) if temp_id else out
 
 
 def radius_count(points: DataFrame, radius_deg: float,

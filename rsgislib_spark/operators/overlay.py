@@ -183,14 +183,20 @@ def difference(a: DataFrame, b: DataFrame, res: int = 6,
 
     clipped = pairs.groupBy("a_id").applyInPandas(per_a, schema=DIFF_SCHEMA)
 
-    # untouched a's: full polygon passes through (anti-join on a_id)
+    # untouched a's: full polygon passes through (anti-join on a_id).
+    # Decode with wkb_to_polygons (NOT wkb_to_rings — flattening a
+    # MultiPolygon would treat every ring after the first, including
+    # other parts' shells, as a hole) and run the same trapezoid
+    # decomposition as the clipped path so area/n_pieces/pieces use
+    # one consistent representation.
     def full(batches):
         for pdf in batches:
             rows = []
             for aid, g in zip(pdf[id_a], pdf[geom_a]):
-                rings = wkb.wkb_to_rings(bytes(g))
-                area = geom_overlay.polygons_area([rings])
-                rows.append((aid, area, len(rings), bytes(g)))
+                polys = wkb.wkb_to_polygons(bytes(g))
+                pieces, area = geom_overlay.boolean_pieces(
+                    polys, [], "union")
+                rows.append((aid, area, len(pieces), _pieces_wkb(pieces)))
             yield pd.DataFrame(
                 rows, columns=["a_id", "area", "n_pieces", "pieces"])
 

@@ -193,8 +193,13 @@ def spatial_join(points: DataFrame, index: PolygonIndex, how: str = "inner",
     # the robust zero-cost path. Without one, a temp
     # monotonically_increasing_id is generated; because the id is
     # re-evaluated on BOTH sides of the self-join, the tagged frame is
-    # persisted so a nondeterministically-ordered upstream (e.g. a
-    # shuffle output) cannot assign different ids per branch.
+    # localCheckpoint'ed (eager): the ids are MATERIALIZED once, so a
+    # nondeterministically-ordered upstream cannot assign different
+    # ids per branch, and — unlike persist(), whose evicted partitions
+    # silently RECOMPUTE with fresh ids — a lost checkpoint partition
+    # fails the job loudly. The checkpointed blocks are released by
+    # the ContextCleaner when the frame goes out of scope (no
+    # explicit unpersist needed across the lazy output's lifetime).
     tagged_persisted = False
     if pt_id_col is not None:
         pt_id = pt_id_col
@@ -202,7 +207,7 @@ def spatial_join(points: DataFrame, index: PolygonIndex, how: str = "inner",
         pt_id = "__sj_pt_id"
         if how != "inner":
             points = points.withColumn(
-                pt_id, F.monotonically_increasing_id()).persist()
+                pt_id, F.monotonically_increasing_id()).localCheckpoint()
             tagged_persisted = True
     cover = index.cover_df(spark)
     if len(index.cover_rows()) <= broadcast_max_cover:
@@ -290,8 +295,10 @@ def annotate_selection(points: DataFrame, index: PolygonIndex,
         pt_id, tagged, temp = pt_id_col, points, []
     else:
         pt_id = "__sj_pt_id"
+        # eager localCheckpoint, not persist — see spatial_join's note
+        # on id stability under eviction
         tagged = points.withColumn(
-            pt_id, F.monotonically_increasing_id()).persist()
+            pt_id, F.monotonically_increasing_id()).localCheckpoint()
         temp = [pt_id]
     hit_ids = (
         spatial_join(tagged, index, how="inner", lon=lon, lat=lat)

@@ -85,10 +85,13 @@ def dense_ids(df: DataFrame, cols: list, out_col: str) -> DataFrame:
     off_df = F.broadcast(
         spark.createDataFrame(offsets or [(0, 0)], "_pid INT, _off BIGINT"))
     w = Window.partitionBy("_pid").orderBy(*cols)
+    # BIGINT, never INT: past 2^31 distinct values (plausible at
+    # 100 TB, e.g. union_of_clumps pair ids) a non-ANSI int cast
+    # silently wraps to negative/duplicate ids
     return (
         vals.withColumn("_rn", F.row_number().over(w))
         .join(off_df, "_pid")
-        .withColumn(out_col, (F.col("_off") + F.col("_rn")).cast("int"))
+        .withColumn(out_col, (F.col("_off") + F.col("_rn")).cast("bigint"))
         .drop("_pid", "_rn", "_off")
     )
 

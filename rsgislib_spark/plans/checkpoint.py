@@ -62,7 +62,8 @@ def committed_tiles(path: str, fingerprint: str) -> set:
 
 
 def checkpointed_write(df: DataFrame, path: str, cell_col: str,
-                       extra_lineage: str = "") -> dict:
+                       extra_lineage: str = "",
+                       prune_stale: bool = False) -> dict:
     """Resumable cell-partitioned write.
 
     1. compute the lineage fingerprint of ``df``;
@@ -73,7 +74,16 @@ def checkpointed_write(df: DataFrame, path: str, cell_col: str,
        (idempotent on retry);
     4. append per-tile manifest rows (tile, rows, lineage, ts).
 
-    Returns {written: n_tiles, skipped: n_tiles, rows: n}.
+    prune_stale=True additionally deletes on-disk partitions that the
+    MANIFEST records under a different lineage and this plan no longer
+    produces (full-output-replacement semantics — reads never mix
+    stale tiles after a plan change). It is opt-in, and deletion is
+    keyed on the manifest: partitions this writer never recorded
+    (foreign data, tile subsets from append-style runs without a
+    manifest row) are NEVER touched, so a benign lineage change cannot
+    destroy data the manifest doesn't own.
+
+    Returns {written: n_tiles, skipped: n_tiles, pruned: n, rows: n}.
     """
     fp = lineage_fingerprint(df, extra_lineage)
     manifest = read_manifest(path)
@@ -105,32 +115,34 @@ def checkpointed_write(df: DataFrame, path: str, cell_col: str,
     finally:
         todo.unpersist()
 
-    # this plan's full tile set; anything else on disk is a partition
-    # left behind by a superseded lineage — prune it so reads of the
-    # output path never mix stale tiles after a plan change
+    # this plan's full tile set; optionally prune MANIFEST-KNOWN tiles
+    # a superseded lineage left behind (never unrecorded partitions —
+    # the manifest is the ownership boundary)
     produced = {int(t) for t in done} | {int(t) for t in counts}
+    stale = {
+        int(t) for t, e in manifest.items()
+        if e.get("lineage") != fp and int(t) not in produced
+    }
     pruned = 0
-    if os.path.isdir(path):
+    pruned_tiles: set = set()
+    if prune_stale and stale and os.path.isdir(path):
         import shutil
 
-        prefix = f"{cell_col}="
-        for entry in os.listdir(path):
-            if not entry.startswith(prefix):
-                continue
-            try:
-                tile = int(entry[len(prefix):])
-            except ValueError:
-                continue
-            if tile not in produced:
-                shutil.rmtree(os.path.join(path, entry))
-                pruned += 1
+        for tile in stale:
+            part = os.path.join(path, f"{cell_col}={tile}")
+            if os.path.isdir(part):
+                shutil.rmtree(part)
+            pruned_tiles.add(tile)
+            pruned += 1
 
     # rewrite the manifest atomically: fresh entries for this run's
-    # tiles, prior entries kept only for still-valid committed tiles
+    # tiles, prior entries kept for every tile not pruned (append-run
+    # subsets under other lineages stay recorded AND on disk)
     ts = time.time()
     os.makedirs(path, exist_ok=True)
     entries = {
-        int(t): manifest[t] for t in done if int(t) in produced
+        int(t): e for t, e in manifest.items()
+        if int(t) not in pruned_tiles
     }
     for tile, n in counts.items():
         entries[int(tile)] = {"tile": int(tile), "rows": int(n),

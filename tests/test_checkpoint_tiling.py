@@ -99,7 +99,8 @@ def test_checkpointed_write_prunes_stale_partitions(spark, assigned, tmp_path):
 
     keep = sorted(all_tiles)[: len(all_tiles) // 2]
     df2 = df.where(F.col("cell_r5").isin([int(t) for t in keep]))
-    r = checkpoint.checkpointed_write(df2, path, "cell_r5")
+    r = checkpoint.checkpointed_write(df2, path, "cell_r5",
+                                      prune_stale=True)
     assert r["pruned"] == len(all_tiles) - len(keep)
     mf = checkpoint.read_manifest(path)
     assert set(mf) == set(keep)
@@ -111,3 +112,43 @@ def test_checkpointed_write_prunes_stale_partitions(spark, assigned, tmp_path):
     per_tile = {r[0]: r[1] for r in
                 back.groupBy("cell_r5").count().collect()}
     assert {t: e["rows"] for t, e in mf.items()} == per_tile
+
+
+def test_prune_default_off_keeps_old_subsets(spark, assigned, tmp_path):
+    """Default (prune_stale=False): an append-style run writing a
+    different tile subset must NOT delete previously written tiles —
+    a benign lineage change cannot destroy data."""
+    path = str(tmp_path / "tiles4")
+    df = assigned.select("url", "lon", "lat", "cell_r5")
+    checkpoint.checkpointed_write(df, path, "cell_r5")
+    all_tiles = set(checkpoint.read_manifest(path))
+
+    keep = sorted(all_tiles)[: len(all_tiles) // 2]
+    df2 = df.where(F.col("cell_r5").isin([int(t) for t in keep]))
+    r = checkpoint.checkpointed_write(df2, path, "cell_r5")
+    assert r["pruned"] == 0
+    # every original tile still on disk AND in the manifest
+    assert set(checkpoint.read_manifest(path)) == all_tiles
+    back_tiles = {r[0] for r in spark.read.parquet(path)
+                  .select("cell_r5").distinct().collect()}
+    assert back_tiles == {int(t) for t in all_tiles}
+
+
+def test_prune_never_touches_unrecorded_partitions(spark, assigned, tmp_path):
+    """prune_stale=True deletes only MANIFEST-KNOWN stale tiles;
+    partitions this writer never recorded (foreign data) survive."""
+    path = str(tmp_path / "tiles5")
+    df = assigned.select("url", "lon", "lat", "cell_r5")
+    checkpoint.checkpointed_write(df, path, "cell_r5")
+    all_tiles = set(checkpoint.read_manifest(path))
+    foreign = os.path.join(path, "cell_r5=987654321")
+    os.makedirs(foreign)
+    with open(os.path.join(foreign, "marker"), "w") as f:
+        f.write("foreign")
+
+    keep = sorted(all_tiles)[: len(all_tiles) // 2]
+    df2 = df.where(F.col("cell_r5").isin([int(t) for t in keep]))
+    r = checkpoint.checkpointed_write(df2, path, "cell_r5",
+                                      prune_stale=True)
+    assert r["pruned"] == len(all_tiles) - len(keep)
+    assert os.path.exists(os.path.join(foreign, "marker"))
