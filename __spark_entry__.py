@@ -175,6 +175,81 @@ def q_spatial_join_left_sql() -> str:
             f"LEFT JOIN matched ON pts.pt_id = matched.pt_id")
 
 
+_BIG_N_POLYS = 100_000
+
+
+def _diamond_layer(spark: SparkSession, n: int = _BIG_N_POLYS) -> DataFrame:
+    """Synthesize a polygon layer TOO LARGE TO COLLECT — 100k WKB
+    diamonds laid on a 360x90 degree grid (≤ 4 per cell, each strictly
+    inside its cell), generated DISTRIBUTED via mapInPandas over a
+    range (the layer never exists on the driver). Center/radius come
+    from integer formulas both engines evaluate exactly:
+        cellx = i % 360; celly = (i // 360) % 90; layer = i // 32400
+        cx = -180 + cellx + 0.2 + 0.2*layer
+        cy = -45  + celly + 0.2 + 0.2*layer
+        r  = 0.08 + 0.02*layer
+    """
+    import numpy as np
+    import pandas as pd
+    from rsgislib_spark.geometry import wkb as wkb_mod
+
+    def gen(batches):
+        for pdf in batches:
+            i = pdf["id"].to_numpy()
+            cellx = i % 360
+            celly = (i // 360) % 90
+            layer = i // 32400
+            cx = -180.0 + cellx + 0.2 + 0.2 * layer
+            cy = -45.0 + celly + 0.2 + 0.2 * layer
+            r = 0.08 + 0.02 * layer
+            geoms = [
+                wkb_mod.polygon_to_wkb([np.array(
+                    [[cx[j] + r[j], cy[j]], [cx[j], cy[j] + r[j]],
+                     [cx[j] - r[j], cy[j]], [cx[j], cy[j] - r[j]],
+                     [cx[j] + r[j], cy[j]]])])
+                for j in range(len(i))
+            ]
+            yield pd.DataFrame({"poly_id": pd.Series(i, dtype="int64"),
+                                "geometry": geoms})
+
+    return spark.range(n).mapInPandas(gen, "poly_id BIGINT, geometry BINARY")
+
+
+def q_spatial_join_big(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LARGE-polygon-layer join path (sjoin semantics for layers
+    the reference loads via rtree, vectorattrs/__init__.py:1301-1303,
+    but too big for a driver index): distributed WKB cover
+    (mapInPandas) -> cell hash join -> salted COGROUPED ray-cast
+    refine, rings arriving with the candidate batch. Nothing is ever
+    collected; a 10M-parcel layer runs the same plan."""
+    pts = _points(spark, sf_dir)
+    return sj.spatial_join_df(pts, _diamond_layer(spark), how="inner",
+                              pt_id_col="pt_id").select("pt_id", "poly_id")
+
+
+def q_spatial_join_big_sql() -> str:
+    # diamond containment |dx|+|dy| <= r; candidates via the integer
+    # degree-cell equi-join (each diamond strictly inside its cell)
+    return f"""
+WITH pts AS ({PTS_SQL}),
+polys AS (
+  SELECT CAST(i AS BIGINT) AS poly_id,
+         CAST(i % 360 AS BIGINT) AS cellx,
+         CAST((i // 360) % 90 AS BIGINT) AS celly,
+         CAST(-180 AS DOUBLE) + (i % 360) + CAST(0.2 AS DOUBLE)
+           + CAST(0.2 AS DOUBLE) * (i // 32400) AS cx,
+         CAST(-45 AS DOUBLE) + ((i // 360) % 90) + CAST(0.2 AS DOUBLE)
+           + CAST(0.2 AS DOUBLE) * (i // 32400) AS cy,
+         CAST(0.08 AS DOUBLE) + CAST(0.02 AS DOUBLE) * (i // 32400) AS r
+  FROM generate_series(0, {_BIG_N_POLYS - 1}) t(i))
+SELECT p.pt_id, q.poly_id
+FROM pts p JOIN polys q
+  ON q.cellx = CAST(FLOOR(p.lon) AS BIGINT) + 180
+ AND q.celly = CAST(FLOOR(p.lat) AS BIGINT) + 45
+WHERE ABS(p.lon - q.cx) + ABS(p.lat - q.cy) <= q.r
+"""
+
+
 def q_count_pt_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """count_pt_intersects (vectorattrs/__init__.py:1022): polygons ⟕
     point counts; empty polygons get NULL (pandas-merge semantics)."""
@@ -300,6 +375,63 @@ pairs AS (
     ON a.pt_id <> b.pt_id
    AND (a.lon - b.lon) * (a.lon - b.lon)
        + (a.lat - b.lat) * (a.lat - b.lat) <= 4.0
+  GROUP BY a.pt_id)
+SELECT pts.pt_id, COALESCE(pairs.n, 0) AS n_in_radius
+FROM pts LEFT JOIN pairs ON pts.pt_id = pairs.pt_id
+"""
+
+
+def q_knn_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_closest_vec_pts with GREAT-CIRCLE ranking (meters) — the
+    WGS84-honest option (documented divergence: the reference ranks
+    planar in layer CRS, vectorutils/__init__.py:3529; parity mode is
+    q_knn_nearest_site). mm-rounded output: numpy vs libm
+    transcendentals differ in the last ulps, ~6 orders below mm."""
+    pts = _points(spark, sf_dir)
+    out = knn_ops.knn_broadcast(pts, derived.sites_df(spark), k=1,
+                                metric="haversine")
+    return out.select("pt_id", "nn_site_id",
+                      F.round("nn_dist_m", 3).alias("nn_dist_m"))
+
+
+def q_knn_haversine_sql() -> str:
+    from rsgislib_spark.geometry.predicates import HAVERSINE_SQL
+
+    hav = HAVERSINE_SQL.format(lon1="pts.lon", lat1="pts.lat",
+                               lon2="sites.site_lon", lat2="sites.site_lat")
+    return f"""
+WITH pts AS ({PTS_SQL}), sites AS ({derived.SITES_SQL_DUCKDB}),
+ranked AS (
+  SELECT pts.pt_id, sites.site_id, {hav} AS dm,
+         ROW_NUMBER() OVER (PARTITION BY pts.pt_id
+                            ORDER BY {hav} ASC, sites.site_id ASC) AS rn
+  FROM pts CROSS JOIN sites)
+SELECT pt_id, site_id AS nn_site_id, ROUND(dm, 3) AS nn_dist_m
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_radius_count_m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """calc_npts_in_radius with a METRIC radius (300 km great-circle):
+    pole-safe latitude-band self-join + shared-template haversine
+    filter (identical expression tree to the oracle)."""
+    pts = derived.points_df(spark, sf_dir, table="supplier", key="s_suppkey")
+    return knn_ops.radius_count_haversine(pts, radius_m=300_000.0).select(
+        "pt_id", "n_in_radius")
+
+
+def q_radius_count_m_sql() -> str:
+    from rsgislib_spark.geometry.predicates import HAVERSINE_SQL
+
+    pts_sql = derived.points_select_sql("supplier", "s_suppkey")
+    hav = HAVERSINE_SQL.format(lon1="a.lon", lat1="a.lat",
+                               lon2="b.lon", lat2="b.lat")
+    return f"""
+WITH pts AS ({pts_sql}),
+pairs AS (
+  SELECT a.pt_id, COUNT(*) AS n
+  FROM pts a JOIN pts b ON a.pt_id <> b.pt_id
+  WHERE {hav} <= 300000.0
   GROUP BY a.pt_id)
 SELECT pts.pt_id, COALESCE(pairs.n, 0) AS n_in_radius
 FROM pts LEFT JOIN pairs ON pts.pt_id = pairs.pt_id
@@ -1871,12 +2003,15 @@ _REGISTRY: dict[str, tuple] = {
     "hex_assign": (q_hex_assign, q_hex_assign_sql),
     "spatial_join_within": (q_spatial_join_within, q_spatial_join_within_sql),
     "spatial_join_left": (q_spatial_join_left, q_spatial_join_left_sql),
+    "spatial_join_big": (q_spatial_join_big, q_spatial_join_big_sql),
     "count_pt_intersects": (q_count_pt_intersects, q_count_pt_intersects_sql),
     "annotate_selection": (q_annotate_selection, q_annotate_selection_sql),
     "zonal_stats": (q_zonal_stats, q_zonal_stats_sql),
     "knn_nearest_site": (q_knn_nearest_site, q_knn_nearest_site_sql),
     "knn_kring": (q_knn_kring, q_knn_nearest_site_sql),
     "radius_count": (q_radius_count, q_radius_count_sql),
+    "knn_haversine": (q_knn_haversine, q_knn_haversine_sql),
+    "radius_count_m": (q_radius_count_m, q_radius_count_m_sql),
     # webtext / training-data ops (driver-ungated in r2 — now in window)
     "text_stats": (q_text_stats, q_text_stats_sql),
     "dedup_exact": (q_dedup_exact, q_dedup_exact_sql),
@@ -1918,12 +2053,12 @@ _REGISTRY: dict[str, tuple] = {
     "emd": (q_emd, q_emd_sql),
     "zonal_masked": (q_zonal_masked, q_zonal_masked_sql),
     # nontrivial relational ops
-    "range_lut_join": (q_range_lut_join, q_range_lut_join_sql),
-    "unq_numeric_col": (q_unq_numeric_col, q_unq_numeric_col_sql),
-    "cat_proportions": (q_cat_proportions, q_cat_proportions_sql),
     # ---- driver window boundary (first 50 above) ----
     # long-stable trivial ops: green in r1 AND r2 driver gates; still
     # checked every round by the local DuckDB gate
+    "range_lut_join": (q_range_lut_join, q_range_lut_join_sql),
+    "unq_numeric_col": (q_unq_numeric_col, q_unq_numeric_col_sql),
+    "cat_proportions": (q_cat_proportions, q_cat_proportions_sql),
     "vector_maths": (q_vector_maths, q_vector_maths_sql),
     "subset_by_attribute": (q_subset_by_attribute, q_subset_by_attribute_sql),
     "drop_by_attribute": (q_drop_by_attribute, q_drop_by_attribute_sql),

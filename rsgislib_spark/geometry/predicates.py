@@ -126,6 +126,20 @@ def centroid(rings: list) -> tuple:
     return float(cx), float(cy)
 
 
+# Shared Spark-SQL / DuckDB haversine template — one expression tree
+# on both engines (transcendentals still differ by ulps between JVM
+# and libm, so gated outputs using it must ROUND or only compare
+# counts/ranks; see MEMORY oracle-bit-exactness).
+HAVERSINE_SQL = (
+    "2 * CAST(6371008.8 AS DOUBLE) * ASIN(SQRT("
+    "POWER(SIN(RADIANS({lat2} - {lat1}) / 2), 2)"
+    " + COS(RADIANS({lat1})) * COS(RADIANS({lat2}))"
+    " * POWER(SIN(RADIANS({lon2} - {lon1}) / 2), 2)))")
+
+#: meters per degree of latitude on the IUGG sphere (R * pi / 180)
+M_PER_DEG = 6371008.8 * np.pi / 180.0
+
+
 def haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
     """Great-circle distance in meters (vectorized)."""
     lon1, lat1 = np.radians(lon1), np.radians(lat1)

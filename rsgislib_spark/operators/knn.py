@@ -38,13 +38,24 @@ def knn_broadcast(points: DataFrame, sites: DataFrame, k: int = 1,
                   lon: str = "lon", lat: str = "lat",
                   site_id: str = "site_id", site_lon: str = "site_lon",
                   site_lat: str = "site_lat",
-                  max_dist: float | None = None) -> DataFrame:
+                  max_dist: float | None = None,
+                  metric: str = "planar") -> DataFrame:
     """Nearest site(s) per point, sites broadcast (k=1 default mirrors
     match_closest_vec_pts; max_dist is its tolerance cut).
 
-    Output: points columns + nn_site_id, nn_dist_sq (planar deg^2),
+    metric='planar' (default): planar squared degrees in the layer
+    CRS — PARITY with the reference, whose match_closest_vec_pts is
+    planar in layer coordinates (vectorutils/__init__.py:3529), and
+    bit-reproducible (products/sums only). Output column nn_dist_sq.
+    metric='haversine': great-circle METERS — what a WGS84 user
+    actually expects from "nearest"; a documented divergence from the
+    reference. Output column nn_dist_m; max_dist is then in meters.
+
+    Output: points columns + nn_site_id, nn_dist_sq|nn_dist_m,
     nn_rank (1..k). Points with no site within max_dist are dropped
     for k rows (reference drops them from the attribute copy)."""
+    if metric not in {"planar", "haversine"}:
+        raise ValueError(f"metric must be planar/haversine, got {metric}")
     site_rows = sites.select(site_id, site_lon, site_lat).collect()
     s_id = np.array([r[0] for r in site_rows], dtype=np.int64)
     s_lon = np.array([r[1] for r in site_rows], dtype=np.float64)
@@ -53,34 +64,40 @@ def knn_broadcast(points: DataFrame, sites: DataFrame, k: int = 1,
     order = np.argsort(s_id, kind="stable")
     s_id, s_lon, s_lat = s_id[order], s_lon[order], s_lat[order]
     kk = int(k)
+    dist_col = "nn_dist_sq" if metric == "planar" else "nn_dist_m"
 
     def _nn(batches):
         for pdf in batches:
             px = pdf[lon].to_numpy(dtype=np.float64)
             py = pdf[lat].to_numpy(dtype=np.float64)
-            dx = px[:, None] - s_lon[None, :]
-            dy = py[:, None] - s_lat[None, :]
-            d2 = dx * dx + dy * dy
+            if metric == "haversine":
+                d2 = haversine_m(px[:, None], py[:, None],
+                                 s_lon[None, :], s_lat[None, :])
+            else:
+                dx = px[:, None] - s_lon[None, :]
+                dy = py[:, None] - s_lat[None, :]
+                d2 = dx * dx + dy * dy
             if kk == 1:
                 best = np.argmin(d2, axis=1)  # first (lowest id) on ties
                 out = pdf.copy()
                 out["nn_site_id"] = s_id[best]
-                out["nn_dist_sq"] = d2[np.arange(len(best)), best]
+                out[dist_col] = d2[np.arange(len(best)), best]
                 out["nn_rank"] = 1
             else:
                 idx = np.argsort(d2, axis=1, kind="stable")[:, :kk]
                 rows = np.repeat(np.arange(len(px)), idx.shape[1])
                 out = pdf.iloc[rows].reset_index(drop=True)
                 out["nn_site_id"] = s_id[idx.ravel()]
-                out["nn_dist_sq"] = d2[rows, idx.ravel()]
+                out[dist_col] = d2[rows, idx.ravel()]
                 out["nn_rank"] = np.tile(np.arange(1, idx.shape[1] + 1), len(px))
             if max_dist is not None:
-                out = out[out["nn_dist_sq"] <= max_dist * max_dist]
+                cut = max_dist * max_dist if metric == "planar" else max_dist
+                out = out[out[dist_col] <= cut]
             yield out
 
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                        for f in points.schema.fields)
-    schema += f", nn_site_id BIGINT, nn_dist_sq DOUBLE, nn_rank INT"
+    schema += f", nn_site_id BIGINT, {dist_col} DOUBLE, nn_rank INT"
     return points.mapInPandas(_nn, schema=schema)
 
 
@@ -201,6 +218,51 @@ def knn_kring(points: DataFrame, sites: DataFrame, res: int | None = None,
     # payload joined back ONCE on the id key
     out = pts_full.join(resolved, pid, "inner")
     return out.drop(pid) if temp_id else out
+
+
+def radius_count_haversine(points: DataFrame, radius_m: float,
+                           id_col: str = "pt_id", lon: str = "lon",
+                           lat: str = "lat") -> DataFrame:
+    """calc_npts_in_radius with a METRIC radius (meters, great
+    circle) — the WGS84-honest variant of radius_count (documented
+    divergence: the reference's KDTree is planar in layer CRS).
+
+    Completeness is pole-safe: great-circle distance >= R * |dlat|,
+    so any pair within radius_m differs by <= radius_m / M_PER_DEG
+    degrees of latitude — a 1-D LATITUDE-BAND self-join (band, band±1)
+    never misses a pair, with no cos(lat) blowup at the poles (a cell
+    k-ring in lon/lat would need unboundedly many lon neighbours near
+    90°). Exact haversine filter via the shared SQL template
+    (predicates.HAVERSINE_SQL — same expression tree as the oracle).
+    """
+    from ..geometry.predicates import HAVERSINE_SQL, M_PER_DEG
+
+    band_h = radius_m / M_PER_DEG  # degrees of latitude
+    band = lambda c: F.floor(F.col(c) / F.lit(band_h))  # noqa: E731
+    a = points.select(
+        F.col(id_col).alias("_ida"), F.col(lon).alias("_lona"),
+        F.col(lat).alias("_lata"),
+    ).withColumn("aband", band("_lata"))
+    b = points.select(
+        F.col(id_col).alias("_idb"), F.col(lon).alias("_lonb"),
+        F.col(lat).alias("_latb"),
+    ).withColumn(
+        "jband",
+        F.explode(F.array(*[band("_latb") + F.lit(d) for d in (-1, 0, 1)])),
+    )
+    dist = F.expr(HAVERSINE_SQL.format(
+        lon1="_lona", lat1="_lata", lon2="_lonb", lat2="_latb"))
+    pairs = (
+        a.join(b, a["aband"] == b["jband"])
+        .where(F.col("_ida") != F.col("_idb"))
+        .where(dist <= F.lit(float(radius_m)))
+    )
+    counts = pairs.groupBy("_ida").agg(F.count("*").alias("n_in_radius"))
+    return (
+        points.join(counts, points[id_col] == F.col("_ida"), "left")
+        .drop("_ida")
+        .withColumn("n_in_radius", F.coalesce("n_in_radius", F.lit(0)))
+    )
 
 
 def radius_count(points: DataFrame, radius_deg: float,

@@ -267,6 +267,163 @@ def spatial_join(points: DataFrame, index: PolygonIndex, how: str = "inner",
     )
 
 
+def poly_cover_df(polys: DataFrame, res: int | None = None,
+                  max_cells: int = 256, id_col: str = "poly_id",
+                  geom_col: str = "geometry") -> DataFrame:
+    """DISTRIBUTED cell cover of a polygon DataFrame — the large-layer
+    twin of PolygonIndex.cover_rows (which collects to the driver).
+
+    mapInPandas over (poly_id, wkb): per polygon, decode rings,
+    antimeridian-unwrap, pick the adaptive resolution (res=None) and
+    emit (poly_id, cell, bbox, res) rows. Nothing reaches the driver;
+    a 10M-polygon parcel layer covers in one Arrow-batched pass.
+    xmax > 180 signals an unwrapped antimeridian bbox (same convention
+    as PolygonIndex)."""
+    from ..geometry import predicates as P
+
+    def gen(batches):
+        for pdf in batches:
+            pid_out, cell_out, bx = [], [], [[], [], [], []]
+            res_out = []
+            for pid, g in zip(pdf[id_col], pdf[geom_col]):
+                rings = P.unwrap_antimeridian(wkb.wkb_to_rings(bytes(g)))
+                xmin, ymin, xmax, ymax = P.ring_bbox(rings)
+                pres = (quadcell.adaptive_cover_res(
+                    xmin, ymin, xmax, ymax, max_cells=max_cells)
+                    if res is None else res)
+                if xmax > 180.0:
+                    cells = quadcell.cover_bbox(
+                        xmin, ymin, xmax - 360.0, ymax, pres)
+                else:
+                    cells = quadcell.cover_bbox(xmin, ymin, xmax, ymax, pres)
+                for c in cells.tolist():
+                    pid_out.append(pid)
+                    cell_out.append(c)
+                    for k, v in zip(bx, (xmin, ymin, xmax, ymax)):
+                        k.append(v)
+                    res_out.append(pres)
+            yield pd.DataFrame({
+                "poly_id": pd.Series(pid_out, dtype="int64"),
+                "cell": pd.Series(cell_out, dtype="int64"),
+                "xmin": pd.Series(bx[0], dtype="float64"),
+                "ymin": pd.Series(bx[1], dtype="float64"),
+                "xmax": pd.Series(bx[2], dtype="float64"),
+                "ymax": pd.Series(bx[3], dtype="float64"),
+                "res": pd.Series(res_out, dtype="int32"),
+            })
+
+    return polys.select(F.col(id_col).alias(id_col), geom_col).mapInPandas(
+        gen,
+        "poly_id BIGINT, cell BIGINT, xmin DOUBLE, ymin DOUBLE, "
+        "xmax DOUBLE, ymax DOUBLE, res INT")
+
+
+def spatial_join_df(points: DataFrame, polys: DataFrame,
+                    how: str = "inner", lon: str = "lon", lat: str = "lat",
+                    res: int | None = None, max_cells: int = 256,
+                    id_col: str = "poly_id", geom_col: str = "geometry",
+                    pt_id_col: str | None = None,
+                    salt: int = 8) -> DataFrame:
+    """Spatial join against a polygon DataFrame TOO LARGE TO COLLECT —
+    the DataFrame-native path the reference's sjoin implies for
+    arbitrary-size layers (vectorattrs/__init__.py:1301-1303).
+
+    No driver collect anywhere:
+    1. cover = poly_cover_df (distributed, adaptive per-polygon res);
+    2. candidates = points ⋈ cover on the cell key + codegen bbox
+       prefilter (the exact filter spatial_join uses);
+    3. refine = COGROUPED applyInPandas on (poly_id, salt): each
+       group receives one polygon's WKB (decoded ONCE) plus its
+       candidate points — rings travel with the batch, never in a UDF
+       closure. ``salt`` splits a hot polygon's candidates across
+       ``salt`` tasks (the polygon row is replicated salt-fold — bytes
+       per task, vs a continent's candidate list in ONE task);
+    4. matched pairs are slim (pt_id, poly_id); payload joins back
+       once on the id key (the spatial_join pt_id discipline).
+
+    The distinct-res probe set comes from one tiny aggregation over
+    the cover (≤ a dozen rows collected — a scalar, not the layer).
+    """
+    if how not in {"inner", "left", "right", "left_semi"}:
+        raise ValueError(f"join_how must be inner/left/right/left_semi, got {how}")
+
+    temp_id = pt_id_col is None
+    pt_id = pt_id_col if pt_id_col is not None else "__sj_pt_id"
+    if temp_id:
+        # eager localCheckpoint: ids materialized once (see
+        # spatial_join's note on id stability)
+        points = points.withColumn(
+            pt_id, F.monotonically_increasing_id()).localCheckpoint()
+
+    cover = poly_cover_df(polys, res, max_cells, id_col, geom_col)
+    # iterative consumer (res_set now, candidates later) → cache the
+    # cover, not the polygons (cover is the small derived table)
+    cover = cover.persist()
+    res_set = sorted(r[0] for r in cover.select("res").distinct().collect())
+
+    slim = points.select(pt_id, lon, lat)
+    if len(res_set) == 1:
+        pts = slim.withColumn("cell", quadcell.cell_col(lon, lat, res_set[0]))
+    else:
+        pts = slim.withColumn(
+            "cell",
+            F.explode(F.array(*[quadcell.cell_col(lon, lat, r)
+                                for r in res_set])))
+    cand = (
+        pts.join(cover.drop("res"), "cell")
+        .where(
+            (F.col(lon) >= F.col("xmin")) & (F.col(lon) <= F.col("xmax"))
+            & (F.col(lat) >= F.col("ymin")) & (F.col(lat) <= F.col("ymax"))
+            | ((F.col("xmax") > 180.0) & (F.col(lon) + 360.0 >= F.col("xmin"))
+               & (F.col(lon) + 360.0 <= F.col("xmax"))
+               & (F.col(lat) >= F.col("ymin")) & (F.col(lat) <= F.col("ymax")))
+        )
+        .select(pt_id, lon, lat, "poly_id")
+        .withColumn("_salt", F.pmod(F.xxhash64(pt_id), F.lit(salt)).cast("int"))
+    )
+    polys_s = polys.select(
+        F.col(id_col).alias("poly_id"), F.col(geom_col).alias("_wkb")
+    ).withColumn("_salt", F.explode(F.array(*[F.lit(s) for s in range(salt)])))
+
+    pt_id_type = dict(points.dtypes)[pt_id]
+    out_schema = f"`{pt_id}` {pt_id_type}, poly_id BIGINT"
+    from ..geometry import predicates as P
+
+    def refine(cand_pdf: pd.DataFrame, poly_pdf: pd.DataFrame) -> pd.DataFrame:
+        if cand_pdf.empty or poly_pdf.empty:
+            return pd.DataFrame({pt_id: pd.Series([], dtype=cand_pdf[pt_id].dtype
+                                                  if pt_id in cand_pdf else "int64"),
+                                 "poly_id": pd.Series([], dtype="int64")})
+        rings = P.unwrap_antimeridian(
+            wkb.wkb_to_rings(bytes(poly_pdf["_wkb"].iloc[0])))
+        x = cand_pdf[lon].to_numpy(dtype=np.float64)
+        y = cand_pdf[lat].to_numpy(dtype=np.float64)
+        if P.ring_bbox(rings)[2] > 180.0:
+            x = np.where(x < 0.0, x + 360.0, x)
+        m = P.point_in_rings(x, y, rings)
+        out = cand_pdf.loc[m, [pt_id]].copy()
+        out["poly_id"] = int(poly_pdf["poly_id"].iloc[0])
+        return out
+
+    pairs = (
+        cand.groupBy("poly_id", "_salt")
+        .cogroup(polys_s.groupBy("poly_id", "_salt"))
+        .applyInPandas(refine, out_schema)
+    )
+
+    if how == "inner":
+        out = points.join(pairs, pt_id, "inner")
+    elif how == "left":
+        out = points.join(pairs, pt_id, "left")
+    elif how == "left_semi":
+        out = points.join(pairs.select(pt_id).dropDuplicates([pt_id]),
+                          pt_id, "left_semi")
+    else:  # right: every polygon id, matched points or nulls
+        ids = polys.select(F.col(id_col).alias("poly_id"))
+        out = ids.join(points.join(pairs, pt_id, "inner"), "poly_id", "left")
+    return out.drop(pt_id) if temp_id else out
+
+
 def count_points_per_polygon(points: DataFrame, index: PolygonIndex,
                              lon: str = "lon", lat: str = "lat") -> DataFrame:
     """count_pt_intersects semantics

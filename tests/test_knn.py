@@ -79,3 +79,45 @@ def test_radius_count_matches_brute(spark, pts):
         d2 = (px - px[i]) ** 2 + (py - py[i]) ** 2
         want = int(np.sum(d2 <= 9.0)) - 1  # exclude self
         assert got[pid] == want, pid
+
+
+def test_knn_haversine_matches_brute(spark, pts):
+    """metric='haversine' ranks by great-circle meters (numpy brute
+    force as the oracle); lowest-id tie-break preserved."""
+    from rsgislib_spark.geometry.predicates import haversine_m
+
+    sites = derived.sites_df(spark).collect()
+    s_id = np.array([r.site_id for r in sites])
+    s_lon = np.array([r.site_lon for r in sites])
+    s_lat = np.array([r.site_lat for r in sites])
+    order = np.argsort(s_id)
+    s_id, s_lon, s_lat = s_id[order], s_lon[order], s_lat[order]
+    rows = pts.limit(300).collect()
+    out = {r.pt_id: (r.nn_site_id, r.nn_dist_m) for r in
+           knn.knn_broadcast(pts.limit(300), derived.sites_df(spark),
+                             metric="haversine").collect()}
+    for r in rows:
+        d = haversine_m(np.full_like(s_lon, r.lon),
+                        np.full_like(s_lat, r.lat), s_lon, s_lat)
+        j = int(np.argmin(d))
+        assert out[r.pt_id][0] == s_id[j]
+        assert out[r.pt_id][1] == d[j]
+
+
+def test_radius_count_haversine_matches_brute(spark, pts):
+    """Latitude-band self-join + haversine filter == brute force,
+    including any near-pole points (band join is pole-safe)."""
+    from rsgislib_spark.geometry.predicates import haversine_m
+
+    rows = pts.limit(200).collect()
+    sub = pts.limit(200)
+    px = np.array([r.lon for r in rows])
+    py = np.array([r.lat for r in rows])
+    ids = [r.pt_id for r in rows]
+    R = 1_500_000.0
+    got = {r.pt_id: r.n_in_radius for r in
+           knn.radius_count_haversine(sub, R).collect()}
+    for i, pid in enumerate(ids):
+        d = haversine_m(px, py, px[i], py[i])
+        want = int(np.sum(d <= R)) - 1  # exclude self
+        assert got[pid] == want, pid

@@ -191,3 +191,64 @@ def test_left_join_pages_schema_nulls_and_duplicates(spark):
 
     flagged = sj.annotate_selection(df, idx).collect()
     assert sorted(r.sel for r in flagged) == [False, True, True]
+
+
+# ------------------------------------------------- DataFrame-native path
+
+@pytest.fixture(scope="module")
+def polys_wkb_df(spark):
+    from rsgislib_spark.geometry import wkb
+    return spark.createDataFrame(
+        [(p["poly_id"], bytearray(wkb.polygon_to_wkb(fixtures.poly_rings(p))))
+         for p in fixtures.POLYGONS], "poly_id BIGINT, geometry BINARY")
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "left_semi", "right"])
+def test_spatial_join_df_matches_index_path(pts, polys_wkb_df, how):
+    """spatial_join_df (distributed cover + cogrouped refine, no
+    driver collect) == spatial_join (driver PolygonIndex) for every
+    join mode, including the antimeridian polygon."""
+    idx = sj.PolygonIndex.from_fixture(fixtures.POLYGONS, res=None)
+    a = sj.spatial_join(pts, idx, how=how, pt_id_col="url")
+    b = sj.spatial_join_df(pts, polys_wkb_df, how=how, pt_id_col="url")
+    cols = sorted(set(a.columns) & set(b.columns))
+    key = lambda r: tuple(repr(v) for v in r)  # noqa: E731 — None-safe sort
+    assert sorted(map(tuple, a.select(*cols).collect()), key=key) == \
+        sorted(map(tuple, b.select(*cols).collect()), key=key)
+
+
+def test_spatial_join_df_temp_id(pts, polys_wkb_df):
+    """Without a natural key the temp monotonically-increasing id is
+    materialized (localCheckpoint) and dropped from the output."""
+    out = sj.spatial_join_df(pts.drop("url"), polys_wkb_df, how="left")
+    assert "__sj_pt_id" not in out.columns
+    assert out.count() >= pts.count()  # fan-out >= 1 row per point
+
+
+def test_spatial_join_df_salt_invariance(pts, polys_wkb_df):
+    """The salted cogroup is a pure parallelism knob — results are
+    identical at salt=1 and salt=16."""
+    a = sj.spatial_join_df(pts, polys_wkb_df, pt_id_col="url", salt=1)
+    b = sj.spatial_join_df(pts, polys_wkb_df, pt_id_col="url", salt=16)
+    assert sorted(map(tuple, a.select("url", "poly_id").collect())) == \
+        sorted(map(tuple, b.select("url", "poly_id").collect()))
+
+
+def test_poly_cover_df_matches_index_cover(spark, polys_wkb_df):
+    """Distributed cover rows == the driver PolygonIndex cover rows
+    (same cells, bboxes, adaptive resolutions)."""
+    idx = sj.PolygonIndex.from_fixture(fixtures.POLYGONS, res=None)
+    got = {(r.poly_id, r.cell, r.xmin, r.ymin, r.xmax, r.ymax)
+           for r in sj.poly_cover_df(polys_wkb_df).collect()}
+    want = set(idx.cover_rows())
+    assert got == want
+
+
+def test_spatial_join_df_plan_no_driver_collect(pts, polys_wkb_df):
+    """Structural: the large-layer plan contains the cogrouped Arrow
+    refine (FlatMapCoGroupsInPandas) and the polygon side is a real
+    scan feeding mapInPandas — no LocalTableScan of collected rows."""
+    out = sj.spatial_join_df(pts, polys_wkb_df, pt_id_col="url")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
