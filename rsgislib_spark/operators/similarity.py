@@ -138,7 +138,7 @@ def _seed_centroids(n_centroids: int, dim: int, seed: int):
     return cents / np.linalg.norm(cents, axis=1, keepdims=True)
 
 
-def ivf_train_centroids(corpus: DataFrame, n_centroids: int = 16,
+def ivf_train_centroids(corpus: DataFrame, n_centroids: int | None = None,
                         dim: int = 64, n_iters: int = 5,
                         vec_col: str = "embedding", seed: int = 7):
     """Spherical k-means refinement of the IVF centroids (the
@@ -146,9 +146,12 @@ def ivf_train_centroids(corpus: DataFrame, n_centroids: int = 16,
     nearest centroid (codegen argmax — the same expression the
     quantizer uses), average per cell via posexplode + groupBy
     (distributed; only the k x dim means reach the driver), then
-    renormalize. Empty cells keep their previous centroid."""
+    renormalize. Empty cells keep their previous centroid.
+    n_centroids=None: sqrt(|corpus|) via auto_n_centroids."""
     import numpy as np
 
+    if n_centroids is None:
+        n_centroids = auto_n_centroids(corpus.count())
     cents = _seed_centroids(n_centroids, dim, seed)
     for _ in range(n_iters):
         assigned = ivf_assign(corpus, n_centroids, dim, vec_col=vec_col,
@@ -222,17 +225,40 @@ def ivf_probe_cells(df: DataFrame, n_probe: int, n_centroids: int = 16,
         "ivf_cell", F.explode(F.transform(top, lambda s: s["cell"])))
 
 
+def auto_n_centroids(n_vectors: int, lo: int = 16, hi: int = 65536) -> int:
+    """sqrt(N) centroid count (the standard IVF sizing: balances the
+    quantize cost k*N against the probe cost n_probe*N/k — both
+    O(N*sqrt(N)) at k=sqrt(N)), clamped and rounded to a power of two.
+    At corpus scale this is the skew bound too: a 10^12-vector corpus
+    gets ~10^6 cells, so the cell equi-join has 10^6 keys (~10^6 rows
+    per reducer), not 16 keys absorbing 1/16 of the corpus each."""
+    import math
+
+    k = int(math.sqrt(max(1, n_vectors)))
+    k = 1 << max(0, (k - 1).bit_length())  # next power of two
+    return max(lo, min(hi, k))
+
+
 def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
-             n_centroids: int = 16, dim: int = 64,
+             n_centroids: int | None = None, dim: int = 64,
              q_id: str = "vec_id", c_id: str = "vec_id",
              vec_col: str = "embedding", n_probe: int = 4,
              centroids=None) -> DataFrame:
     """ANN top-k probing the query's ``n_probe`` nearest IVF cells
     (recall < 1 by design, measured against cosine_topk in tests).
     Corpus vectors live in exactly one cell; only the small query
-    side fans out n_probe-fold."""
+    side fans out n_probe-fold.
+
+    n_centroids=None (default) sizes the codebook at sqrt(|corpus|)
+    via auto_n_centroids — one count() job; a FIXED small default
+    (the old 16) would leave ~|corpus|/16 vectors per join key at
+    scale, the classic hot-reducer."""
     from pyspark.sql import Window
 
+    if centroids is not None:
+        n_centroids = len(centroids)
+    elif n_centroids is None:
+        n_centroids = auto_n_centroids(corpus.count())
     q = ivf_probe_cells(queries, n_probe, n_centroids, dim, vec_col,
                         centroids=centroids).select(
         F.col(q_id).alias("q"), F.col(vec_col).alias("qv"), "ivf_cell")

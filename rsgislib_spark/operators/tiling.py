@@ -113,14 +113,17 @@ def halo_explode(df: DataFrame, cell_col: str, res: int, k: int = 1) -> DataFram
 
 def write_tiles(df: DataFrame, path: str, cell_col: str = "cell_r5",
                 mode: str = "overwrite") -> None:
-    """Write cell-partitioned parquet — the tile-assignment sink
+    """Write cell-partitioned output — the tile-assignment sink
     (split_by_attribute -> per-value files,
     vectorutils/__init__.py:2584; Iceberg identity-partition layout).
-    Dynamic partition overwrite keeps re-runs idempotent per tile —
+
+    ``path`` may be a filesystem path (parquet, dynamic partition
+    overwrite) or — with the Iceberg runtime on the classpath — a
+    ``catalog.db.table`` identifier (atomic overwritePartitions); see
+    sources/catalog.py. Either way re-runs are idempotent per tile —
     the resume story (plans/checkpoint.py) rides on this."""
-    (
-        df.write.mode(mode)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(cell_col)
-        .parquet(path)
-    )
+    from ..sources import catalog
+
+    catalog.write_partitioned(
+        df, path, cell_col,
+        mode="overwrite-partitions" if mode == "overwrite" else mode)

@@ -324,3 +324,39 @@ def test_fit_linear_trend_sql_matches_pandas(spark):
         assert b[k].intercept == pytest.approx(a[k].intercept, rel=1e-9, abs=1e-9)
         assert b[k].r2 == pytest.approx(a[k].r2, rel=1e-9)
         assert b[k].n_obs == a[k].n_obs
+
+
+@pytest.mark.parametrize("metric", ["euclidean", "mahalanobis"])
+def test_attr_knn_distributed_matches_broadcast(spark, knn_data, metric):
+    """Block nested-loop path (train never collected, 4 blocks) ==
+    broadcast path, with random float features (no distance ties, so
+    the tie-break divergence can't bite)."""
+    train, apply_df, Xt, yt, Xa = knn_data
+    got_b = {r.rid: r.knn_pred for r in attr_knn.apply_knn(
+        apply_df, train, ["f1", "f2"], "target", k=5, metric=metric,
+        summarise="mean").collect()}
+    got_d = {r.rid: r.knn_pred for r in attr_knn.apply_knn_distributed(
+        apply_df, train, ["f1", "f2"], "target", k=5, metric=metric,
+        summarise="mean", apply_id_col="rid",
+        rows_per_block=max(2, len(yt) // 4)).collect()}
+    assert set(got_b) == set(got_d)
+    for rid, v in got_b.items():
+        assert abs(got_d[rid] - v) < 1e-9, rid
+
+
+def test_attr_knn_distributed_threshold_nulls(spark, knn_data):
+    """max_dist leaves out-of-range rows NULL (broadcast path: NaN) —
+    same rows in both."""
+    train, apply_df, Xt, yt, Xa = knn_data
+    b = {r.rid: r.knn_pred for r in attr_knn.apply_knn(
+        apply_df, train, ["f1", "f2"], "target", k=5,
+        max_dist=0.3, summarise="mean").collect()}
+    d = {r.rid: r.knn_pred for r in attr_knn.apply_knn_distributed(
+        apply_df, train, ["f1", "f2"], "target", k=5,
+        max_dist=0.3, summarise="mean", apply_id_col="rid",
+        rows_per_block=7).collect()}
+    miss_b = {rid for rid, v in b.items() if v is None or v != v}
+    miss_d = {rid for rid, v in d.items() if v is None or v != v}
+    assert miss_b == miss_d
+    for rid in set(b) - miss_b:
+        assert abs(d[rid] - b[rid]) < 1e-9

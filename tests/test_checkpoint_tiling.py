@@ -152,3 +152,35 @@ def test_prune_never_touches_unrecorded_partitions(spark, assigned, tmp_path):
                                       prune_stale=True)
     assert r["pruned"] == len(all_tiles) - len(keep)
     assert os.path.exists(os.path.join(foreign, "marker"))
+
+
+# ------------------------------------------------------ catalog backend
+
+def test_catalog_dispatch_parquet_roundtrip(spark, assigned, tmp_path):
+    """Path target → parquet backend; dynamic overwrite keeps re-runs
+    idempotent per tile (same rows back)."""
+    from rsgislib_spark.sources import catalog
+
+    path = str(tmp_path / "cat_tiles")
+    df = assigned.select("url", "lon", "lat", "cell_r5")
+    assert catalog.write_partitioned(df, path, "cell_r5") == "parquet"
+    # idempotent re-run
+    assert catalog.write_partitioned(df, path, "cell_r5") == "parquet"
+    back = catalog.read_partitioned(spark, path)
+    assert back.count() == df.count()
+    assert set(back.columns) == set(df.columns)
+
+
+def test_catalog_identifier_requires_iceberg(spark, assigned):
+    """Catalog identifiers demand the Iceberg runtime; without the
+    jar (this container) the dispatch fails loudly with guidance, it
+    never silently writes a path named 'db.table'."""
+    from rsgislib_spark.sources import catalog
+
+    assert catalog.is_table_identifier("local.db.tiles")
+    assert not catalog.is_table_identifier("/tmp/db.table/x")
+    if catalog.iceberg_available(spark):
+        pytest.skip("iceberg present — dispatch would succeed")
+    df = assigned.select("url", "cell_r5")
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        catalog.write_partitioned(df, "local.db.tiles", "cell_r5")

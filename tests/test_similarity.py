@@ -45,7 +45,8 @@ def test_ivf_topk_recall(spark, emb):
 
     def recall(n_probe):
         approx = {(r.q, r.c) for r in similarity.ivf_topk(
-            emb.where("vec_id < 32"), emb, k=3, n_probe=n_probe).collect()}
+            emb.where("vec_id < 32"), emb, k=3, n_probe=n_probe,
+            n_centroids=16).collect()}
         assert len({q for q, _ in approx}) == 32  # k results per query
         return len(approx & exact) / len(exact)
 
@@ -97,7 +98,7 @@ def test_ivf_trained_centroids_beat_random(spark, emb):
     def recall(centroids):
         approx = {(r.q, r.c) for r in similarity.ivf_topk(
             emb.where("vec_id < 32"), emb, k=3, n_probe=4,
-            centroids=centroids).collect()}
+            n_centroids=16, centroids=centroids).collect()}
         return len(approx & exact) / len(exact)
 
     r_rand, r_trained = recall(None), recall(cents)
@@ -108,3 +109,21 @@ def test_ivf_trained_centroids_beat_random(spark, emb):
     occ_tr = similarity.ivf_assign(emb, 16, 64, centroids=cents) \
         .groupBy("ivf_cell").count().agg({"count": "max"}).collect()[0][0]
     assert occ_tr <= occ_rand * 1.5
+
+
+def test_auto_n_centroids_sqrt_scaling():
+    """Bounded-fan-out structural check: the default codebook grows
+    as sqrt(N) (powers of two, clamped) — never a constant that
+    leaves O(N) vectors per join key."""
+    from rsgislib_spark.operators.similarity import auto_n_centroids
+
+    assert auto_n_centroids(100) == 16          # lo clamp
+    assert auto_n_centroids(10_000) == 128      # 2^ceil(log2 100)
+    assert auto_n_centroids(1_000_000) == 1024
+    assert auto_n_centroids(10**12) == 65536    # hi clamp
+    # monotone non-decreasing
+    prev = 0
+    for n in [10, 10**3, 10**5, 10**7, 10**9, 10**12]:
+        k = auto_n_centroids(n)
+        assert k >= prev
+        prev = k

@@ -52,6 +52,22 @@ CHECKS = {
         # this a nested-loop join over the whole raster
         forbid=["BroadcastNestedLoopJoin", "CartesianProduct"],
     ),
+    "knn_kring round on the pages schema (slim id-keyed loop)": dict(
+        # the iterative loop must group/anti-join on the single id
+        # key; url/html/text must never become shuffle keys (r2's
+        # knn_kring grouped by every point column)
+        expect=["Exchange hashpartitioning(__knn_pt_id"],
+        forbid=["hashpartitioning(url", "hashpartitioning(html",
+                "hashpartitioning(text", "Exchange SinglePartition"],
+    ),
+    "spatial_join_df on a large polygon layer (cogrouped refine)": dict(
+        # rings travel with the candidate batch (FlatMapCoGroups);
+        # the polygon side must be a real scan feeding mapInPandas,
+        # never a LocalTableScan of driver-collected rows
+        expect=["FlatMapCoGroupsInPandas"],
+        forbid=["LocalTableScan", "CartesianProduct",
+                "BroadcastNestedLoopJoin"],
+    ),
     "parquet filter pushdown (pt_id = 42)": dict(
         expect=["PushedFilters: [IsNotNull(pt_id), EqualTo(pt_id,42)]"],
         forbid=[],
@@ -130,6 +146,27 @@ def main():
             "x", "y", "CAST(((x DIV 5) + (y DIV 5)) % 2 AS DOUBLE) AS value")
         return cl.clump(grid, tile=64)
 
+    def knn_pages():
+        from rsgislib_spark.operators import knn as knn_ops
+
+        pts = geoparse(spark.read.parquet(tmp)).where("lon IS NOT NULL")
+        return knn_ops.knn_kring(pts, derived.sites_df(spark),
+                                 res=3, max_rings=3)
+
+    def sj_df_big():
+        from rsgislib_spark.geometry import wkb as wkb_codec
+
+        p = "/tmp/plan_polys.parquet"
+        spark.createDataFrame(
+            [(p_["poly_id"],
+              bytearray(wkb_codec.polygon_to_wkb(fixtures.poly_rings(p_))))
+             for p_ in fixtures.POLYGONS],
+            "poly_id BIGINT, geometry BINARY",
+        ).write.mode("overwrite").parquet(p)
+        polys = spark.read.parquet(p)
+        return sj.spatial_join_df(derived.points_df(spark, sf), polys,
+                                  pt_id_col="pt_id")
+
     def pushdown():
         p = "/tmp/plan_pts.parquet"
         derived.points_df(spark, sf).write.mode("overwrite").parquet(p)
@@ -147,6 +184,7 @@ def main():
 
     dfs = dict(zip(CHECKS, [headline, spatial, zonal_q, minhash, unq_ids,
                             sj_left_pages, overlay_pairs, clump_edges,
+                            knn_pages, sj_df_big,
                             pushdown, partition_prune]))
 
     out = ["# PLANS — physical-plan evidence (generated by tools/plan_report.py)",
