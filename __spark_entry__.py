@@ -1770,7 +1770,10 @@ def q_pages_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "poly_id")
 
 
-def q_pages_pipeline_sql() -> str:
+def _pages_gen_sql() -> dict:
+    """Shared DuckDB replication of the pages generator: the WITH
+    body (raw, gen CTEs exposing i, pj, lon_true, lat_true) plus
+    url/lon/lat/plon/plat expression strings."""
     from rsgislib_spark.data.pages import (N_CITIES, N_PLACES, PLACE_LAT_SQL,
                                            PLACE_LON_SQL, TLDS)
 
@@ -1778,8 +1781,6 @@ def q_pages_pipeline_sql() -> str:
                f" ELSE (i * 2654435761) % {N_PLACES} END)")
     plon = PLACE_LON_SQL.format(j="pj")
     plat = PLACE_LAT_SQL.format(j="pj")
-    dlon = "CAST((i * 69621 + 3) % 4001 AS DOUBLE) / 1000.0 - 2.0"
-    dlat = "CAST((i * 40692 + 5) % 4001 AS DOUBLE) / 1000.0 - 2.0"
     # NB pages.py uses Column arithmetic: (x/1000.0 - 2.0) where the
     # decimal literals become DOUBLE in Spark; DuckDB needs CASTs
     dlon = ("CAST((i * 69621 + 3) % 4001 AS DOUBLE)"
@@ -1796,27 +1797,60 @@ def q_pages_pipeline_sql() -> str:
         f"WHEN i % 5 = {k} THEN '{t}'" for k, t in enumerate(TLDS)) + " END")
     url = (f"'https://host' || CAST(i % 97 AS VARCHAR) || '.example.' || {tld}"
            f" || '/loc' || CAST(pj AS VARCHAR) || '/' || CAST(i AS VARCHAR)")
+    text = ("'Page ' || CAST(i AS VARCHAR) || ' near loc' || "
+            "CAST(pj AS VARCHAR) || "
+            "CASE WHEN i % 5 <> 4 THEN ' geo:' || printf('%.4f', lon_true)"
+            " || ',' || printf('%.4f', lat_true) ELSE '' END || "
+            "' lorem ipsum crawl corpus sample.'")
     # geoparse round-trip: rows with a geo token carry %.4f-printed
     # coords; fallback rows resolve to the gazetteer place center
     lon = (f"CASE WHEN i % 5 <> 4 THEN CAST(printf('%.4f', lon_true) AS DOUBLE)"
            f" ELSE {plon} END")
     lat = (f"CASE WHEN i % 5 <> 4 THEN CAST(printf('%.4f', lat_true) AS DOUBLE)"
            f" ELSE {plat} END")
+    body = f"""
+raw AS (
+  SELECT i, {place_j} AS pj FROM (
+    SELECT CAST(g.i AS BIGINT) AS i
+    FROM generate_series(0, {_PIPE_N - 1}) g(i)) t),
+gen AS (
+  SELECT i, pj, {lon_true} AS lon_true, {lat_true} AS lat_true FROM raw)"""
+    return dict(body=body, url=url, text=text, lon=lon, lat=lat)
+
+
+def q_pages_pipeline_sql() -> str:
+    g = _pages_gen_sql()
     parts = []
     for p in fixtures.POLYGONS:
         cond = fixtures.poly_inside_sql(p, "lon", "lat")
         parts.append(f"SELECT url, CAST({p['poly_id']} AS BIGINT) AS poly_id "
                      f"FROM pts WHERE {cond}")
-    return f"""
-WITH raw AS (
-  SELECT i, {place_j} AS pj FROM (
-    SELECT CAST(g.i AS BIGINT) AS i
-    FROM generate_series(0, {_PIPE_N - 1}) g(i)) t),
-gen AS (
-  SELECT i, pj, {lon_true} AS lon_true, {lat_true} AS lat_true FROM raw),
-pts AS (
-  SELECT {url} AS url, {lon} AS lon, {lat} AS lat FROM gen)
-""" + " UNION ALL ".join(parts)
+    return (f"WITH {g['body']},\npts AS (\n"
+            f"  SELECT {g['url']} AS url, {g['lon']} AS lon, {g['lat']} AS lat"
+            f" FROM gen)\n" + " UNION ALL ".join(parts))
+
+
+def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The input_hint's per-row invariant, GATED: extract_text(html)
+    must be byte-identical to the page's text, per url. The Spark
+    side md5s the bytes RECOVERED FROM THE HTML COLUMN ONLY; the
+    oracle rebuilds the text arithmetically from the generator — any
+    extraction drift (offset, encoding, truncation) flips the
+    value hash."""
+    from rsgislib_spark.data import pages as pages_mod
+
+    pg = pages_mod.pages_df(spark, _PIPE_N)
+    return pg.select(
+        "url",
+        F.md5(F.encode(pages_mod.extract_text(F.col("html")), "UTF-8"))
+        .alias("text_md5"))
+
+
+def q_extract_text_sql() -> str:
+    g = _pages_gen_sql()
+    return (f"WITH {g['body']}\n"
+            f"SELECT {g['url']} AS url, md5({g['text']}) AS text_md5"
+            f" FROM gen")
 
 
 # ---------------------------------------------------------------------------
@@ -2024,6 +2058,7 @@ _REGISTRY: dict[str, tuple] = {
     "cosine_topk": (q_cosine_topk, q_cosine_topk_sql),
     "ivf_topk": (q_ivf_topk, q_ivf_topk_sql),
     "pages_pipeline": (q_pages_pipeline, q_pages_pipeline_sql),
+    "extract_text": (q_extract_text, q_extract_text_sql),
     # geometric overlay (driver-ungated in r2 — now in window)
     "overlay_intersection": (q_overlay_intersection, q_overlay_intersection_sql),
     "overlay_difference": (q_overlay_difference, q_overlay_difference_sql),
@@ -2056,6 +2091,7 @@ _REGISTRY: dict[str, tuple] = {
     # ---- driver window boundary (first 50 above) ----
     # long-stable trivial ops: green in r1 AND r2 driver gates; still
     # checked every round by the local DuckDB gate
+    "zonal_masked": (q_zonal_masked, q_zonal_masked_sql),
     "range_lut_join": (q_range_lut_join, q_range_lut_join_sql),
     "unq_numeric_col": (q_unq_numeric_col, q_unq_numeric_col_sql),
     "cat_proportions": (q_cat_proportions, q_cat_proportions_sql),

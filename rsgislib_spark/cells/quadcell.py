@@ -28,6 +28,11 @@ Three synchronized implementations of the same formula:
   hot path — no Python in the loop).
 - ``cell_np`` — vectorized numpy (used inside pandas UDFs, e.g. the
   polygon cover on the broadcast side).
+
+INTEROP NOTE: these ids fill H3's role but are NOT H3 ids (square
+lon/lat cells, not hexagons; see cells/s2cell.py for the matching S2
+note and cells/hexgrid.py for the true-hexagon index). Export to
+external H3 tooling goes through cell_center lon/lat.
 """
 
 from __future__ import annotations

@@ -12,6 +12,15 @@ Spark engine (``F.expr``) and the DuckDB oracle, plus a numpy mirror.
 Trig (cos/sin) may differ by 1 ulp between JVM and libm; that only
 matters for points within 1 ulp of a cell boundary — measure-zero for
 our workloads (documented divergence).
+
+INTEROP NOTE: ids are S2-*style*, not wire-compatible with the real
+S2 library (no Hilbert curve, different bit packing); likewise
+quadcell ids are not H3 ids (square lon/lat cells, not hexagons on an
+icosahedron). Everything inside this engine — joins, k-rings,
+rollups, tile names — is closed over these ids, but exporting them to
+external H3/S2 tooling requires mapping through lon/lat (cell_center
+→ external library's cell_at). This is deliberate: the container is
+dependency-free and SURVEY.md scopes "H3/S2-style" indexes.
 """
 
 from __future__ import annotations

@@ -135,15 +135,22 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
     shingles). Pass max_df=None only for small corpora where exact
     parity with a brute-force oracle is required.
     """
-    sh = shingles(df, id_col, text_col, n)
+    # join on the 64-bit shingle hash, not the ~25-byte string: the
+    # self-join shuffles |corpus| * |shingles/doc| rows — 8-byte keys
+    # cut shuffle bytes ~3x. Distinct-per-doc is taken BEFORE hashing
+    # (shingles() already dedupes), so a 2^-64 hash collision can
+    # only merge two DIFFERENT shingles (count off by 1), never
+    # double-count — negligible against exact semantics.
+    sh = shingles(df, id_col, text_col, n).select(
+        "doc_id", F.xxhash64("shingle").alias("sh_h"))
     if max_df is not None:
-        hot = sh.groupBy("shingle").count().where(F.col("count") > max_df)
-        sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
+        hot = sh.groupBy("sh_h").count().where(F.col("count") > max_df)
+        sh = sh.join(hot.select("sh_h"), "sh_h", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("doc_id").alias("a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    a = sh.select(F.col("doc_id").alias("a"), "sh_h")
+    b = sh.select(F.col("doc_id").alias("b"), "sh_h")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "sh_h")
         .where(F.col("a") < F.col("b"))
         .groupBy("a", "b").agg(F.count("*").alias("n_common"))
     )
@@ -228,13 +235,16 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5,
     # count the intersection. Cost is O(Σ|shingles(a)| over candidate
     # pairs) — linear in candidates, never the corpus-quadratic
     # all-pairs self-join (which would defeat LSH's purpose at 100 TB).
-    sh = shingles(df, id_col, text_col, n)
+    # hashed shingle keys for the verify join too (same 2^-64
+    # collision argument as ngram_jaccard_pairs)
+    sh = shingles(df, id_col, text_col, n).select(
+        "doc_id", F.xxhash64("shingle").alias("sh_h"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    sh_a = sh.selectExpr("doc_id AS a", "shingle")
-    sh_b = sh.selectExpr("doc_id AS b", "shingle")
+    sh_a = sh.selectExpr("doc_id AS a", "sh_h")
+    sh_b = sh.selectExpr("doc_id AS b", "sh_h")
     inter = (
         cand.join(sh_a, "a")
-        .join(sh_b, ["b", "shingle"])
+        .join(sh_b, ["b", "sh_h"])
         .groupBy("a", "b").agg(F.count("*").alias("n_common"))
     )
     return (
