@@ -1622,6 +1622,79 @@ HAVING COUNT(*) > 1
 """
 
 
+def q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-k near-dup PAIRS from the banded SimHash search
+    (pigeonhole k+1 bands -> equi-join -> bit_count verify), portable
+    hash so the DuckDB oracle reproduces fingerprints, banding, and
+    the verified pair set exactly."""
+    from rsgislib_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash_near_pairs(docs, k=3, hash_mode="portable")
+
+
+def q_simhash_near_sql() -> str:
+    from rsgislib_spark.operators.dedup import portable_hash_duckdb
+
+    # fingerprints: identical CTEs to q_simhash_groups_sql
+    k, nb, width = 3, 4, 16
+    band_rows = " UNION ALL ".join(
+        # arithmetic >> then mask is equality-equivalent to Spark's
+        # logical shift on every band (band values are join keys only)
+        f"SELECT doc_id, simhash, {bi} AS band, "
+        f"(simhash >> {bi * width}) & "
+        f"{-1 if bi == nb - 1 else (1 << width) - 1} AS bits FROM sim"
+        for bi in range(nb))
+    return f"""
+WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+              FROM documents),
+hv AS (SELECT doc_id, {portable_hash_duckdb('tok')} AS h
+       FROM toks WHERE length(tok) > 0),
+votes AS (SELECT doc_id, i,
+                 SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM hv, generate_series(0, 63) s(i) GROUP BY 1, 2),
+sim AS (SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN
+            CASE WHEN i = 63 THEN -9223372036854775808
+                 ELSE (CAST(1 AS BIGINT) << i) END
+            ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY 1),
+bnd AS ({band_rows}),
+cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+                bit_count(xor(l.simhash, r.simhash)) AS hamming
+         FROM bnd l JOIN bnd r ON l.band = r.band AND l.bits = r.bits
+         WHERE l.doc_id < r.doc_id)
+SELECT a, b, CAST(hamming AS INT) AS hamming FROM cand
+WHERE hamming <= {k}
+"""
+
+
+def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute-force baseline of
+    the task brief's 'embedding-cosine near-dup'; the LSH-bucketed
+    scale path is property-tested against it in pytest). Threshold
+    0.4 sits inside the fixture's similarity range (random embeddings
+    top out ~0.51)."""
+    from rsgislib_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.cosine_neardup_pairs(emb, threshold=0.4)
+
+
+def q_cosine_neardup_sql() -> str:
+    return """
+WITH scored AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         SUM(CAST(a.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE))
+         / (SQRT(SUM(CAST(a.embedding[i.i] AS DOUBLE) * CAST(a.embedding[i.i] AS DOUBLE)))
+            * SQRT(SUM(CAST(b.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE))))
+         AS score
+  FROM embeddings a, embeddings b, generate_series(1, 64) i(i)
+  WHERE a.vec_id < b.vec_id
+  GROUP BY 1, 2)
+SELECT a, b, ROUND(score, 6) AS score FROM scored WHERE score >= 0.4
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-invariant document fingerprint (md5 of sorted distinct
     tokens) — catches token-shuffled duplicates."""
@@ -2053,9 +2126,11 @@ _REGISTRY: dict[str, tuple] = {
     "neardup_groups": (q_neardup_groups, q_neardup_groups_sql),
     "minhash_lsh": (q_minhash_lsh, q_minhash_lsh_sql),
     "simhash_groups": (q_simhash_groups, q_simhash_groups_sql),
+    "simhash_near": (q_simhash_near, q_simhash_near_sql),
     "doc_fingerprint": (q_doc_fingerprint, q_doc_fingerprint_sql),
     "blob_meta": (q_blob_meta, q_blob_meta_sql),
     "cosine_topk": (q_cosine_topk, q_cosine_topk_sql),
+    "cosine_neardup": (q_cosine_neardup, q_cosine_neardup_sql),
     "ivf_topk": (q_ivf_topk, q_ivf_topk_sql),
     "pages_pipeline": (q_pages_pipeline, q_pages_pipeline_sql),
     "extract_text": (q_extract_text, q_extract_text_sql),
@@ -2072,8 +2147,6 @@ _REGISTRY: dict[str, tuple] = {
     "point_extract": (q_point_extract, q_point_extract_sql),
     "focal_mean": (q_focal_mean, q_focal_mean_sql),
     "focal_conv": (q_focal_conv, q_focal_conv_sql),
-    "grid_histogram": (q_grid_histogram, q_grid_histogram_sql),
-    "band_percentile": (q_band_percentile, q_band_percentile_sql),
     "stack_percentiles": (q_stack_percentiles, q_stack_percentiles_sql),
     "window_corr": (q_window_corr, q_window_corr_sql),
     "dist_to_value": (q_dist_to_value, q_dist_to_value_sql),
@@ -2106,6 +2179,8 @@ _REGISTRY: dict[str, tuple] = {
     "topk_sort": (q_topk_sort, q_topk_sort_sql),
     "create_name_col": (q_create_name_col, q_create_name_col_sql),
     "rollup_agg": (q_rollup_agg, q_rollup_agg_sql),
+    "grid_histogram": (q_grid_histogram, q_grid_histogram_sql),
+    "band_percentile": (q_band_percentile, q_band_percentile_sql),
     "bbox_select": (q_bbox_select, q_bbox_select_sql),
     "mosaic": (q_mosaic, q_mosaic_sql),
 }

@@ -291,7 +291,8 @@ def simhash64(df: DataFrame, id_col: str = "doc_id",
 
 
 def simhash_near_pairs(df: DataFrame, k: int = 3, id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       hash_mode: str = "xxhash64") -> DataFrame:
     """Near-duplicate pairs within Hamming distance k of the 64-bit
     SimHash (the banded Hamming-k search the distance-0 groups
     compose into).
@@ -304,7 +305,7 @@ def simhash_near_pairs(df: DataFrame, k: int = 3, id_col: str = "doc_id",
     MinHash banding."""
     nb = k + 1
     width = 64 // nb
-    sh = simhash64(df, id_col, text_col)
+    sh = simhash64(df, id_col, text_col, hash_mode)
     bands = [
         F.struct(
             F.lit(bi).alias("band"),
