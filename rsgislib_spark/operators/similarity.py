@@ -64,14 +64,20 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding") -> DataFrame:
     """All pairs (a < b) with cosine >= threshold — embedding near-dup
-    detection (brute force; LSH variant below for scale)."""
-    a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("av"))
-    b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("bv"))
-    ad = F.transform("av", lambda x: x.cast("double"))
-    bd = F.transform("bv", lambda x: x.cast("double"))
+    detection (brute force; LSH variant below for scale).
+
+    Norms are computed ONCE PER VECTOR before the pair join (same
+    IEEE value as a per-pair norm — the per-vector sum is the same
+    expression either way), so the O(n^2) stage does only the dot."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col).alias("_id"), v.alias("_v"),
+                     _norm(v).alias("_n"))
+    a = base.selectExpr("_id AS a", "_v AS av", "_n AS na")
+    b = base.selectExpr("_id AS b", "_v AS bv", "_n AS nb")
     return (
         a.crossJoin(b).where(F.col("a") < F.col("b"))
-        .withColumn("score", _dot(ad, bd) / (_norm(ad) * _norm(bd)))
+        .withColumn("score", _dot(F.col("av"), F.col("bv"))
+                    / (F.col("na") * F.col("nb")))
         .where(F.col("score") >= threshold)
         .select("a", "b", F.round("score", 6).alias("score"))
     )

@@ -323,7 +323,7 @@ def spatial_join_df(points: DataFrame, polys: DataFrame,
                     res: int | None = None, max_cells: int = 256,
                     id_col: str = "poly_id", geom_col: str = "geometry",
                     pt_id_col: str | None = None,
-                    salt: int = 8) -> DataFrame:
+                    salt: int = 8, refine_buckets: int = 64) -> DataFrame:
     """Spatial join against a polygon DataFrame TOO LARGE TO COLLECT —
     the DataFrame-native path the reference's sjoin implies for
     arbitrary-size layers (vectorattrs/__init__.py:1301-1303).
@@ -332,12 +332,17 @@ def spatial_join_df(points: DataFrame, polys: DataFrame,
     1. cover = poly_cover_df (distributed, adaptive per-polygon res);
     2. candidates = points ⋈ cover on the cell key + codegen bbox
        prefilter (the exact filter spatial_join uses);
-    3. refine = COGROUPED applyInPandas on (poly_id, salt): each
-       group receives one polygon's WKB (decoded ONCE) plus its
-       candidate points — rings travel with the batch, never in a UDF
-       closure. ``salt`` splits a hot polygon's candidates across
-       ``salt`` tasks (the polygon row is replicated salt-fold — bytes
-       per task, vs a continent's candidate list in ONE task);
+    3. refine = COGROUPED applyInPandas on (hash-bucket(poly_id),
+       salt): each group receives its bucket's polygon WKBs plus the
+       candidates for those polygons — rings travel with the batch,
+       never in a UDF closure, and each polygon is decoded once per
+       group. Bucketing (NOT per-polygon groups) keeps the group
+       count CONSTANT at refine_buckets*salt: per-group Python
+       overhead would otherwise scale with |polygons| and dominate
+       (measured 10x on a 100k-polygon layer). ``salt`` splits a hot
+       polygon's candidates across ``salt`` tasks (the polygon rows
+       are replicated salt-fold — KBs per task, vs a continent's
+       candidate list in ONE task);
     4. matched pairs are slim (pt_id, poly_id); payload joins back
        once on the id key (the spatial_join pt_id discipline).
 
@@ -379,35 +384,50 @@ def spatial_join_df(points: DataFrame, polys: DataFrame,
                & (F.col(lat) >= F.col("ymin")) & (F.col(lat) <= F.col("ymax")))
         )
         .select(pt_id, lon, lat, "poly_id")
+        .withColumn("_bkt", F.pmod(F.xxhash64("poly_id"),
+                                   F.lit(refine_buckets)).cast("int"))
         .withColumn("_salt", F.pmod(F.xxhash64(pt_id), F.lit(salt)).cast("int"))
     )
     polys_s = polys.select(
         F.col(id_col).alias("poly_id"), F.col(geom_col).alias("_wkb")
-    ).withColumn("_salt", F.explode(F.array(*[F.lit(s) for s in range(salt)])))
+    ).withColumn("_bkt", F.pmod(F.xxhash64("poly_id"),
+                                F.lit(refine_buckets)).cast("int")) \
+     .withColumn("_salt", F.explode(F.array(*[F.lit(s) for s in range(salt)])))
 
     pt_id_type = dict(points.dtypes)[pt_id]
     out_schema = f"`{pt_id}` {pt_id_type}, poly_id BIGINT"
     from ..geometry import predicates as P
 
     def refine(cand_pdf: pd.DataFrame, poly_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            pt_id: pd.Series([], dtype=cand_pdf[pt_id].dtype
+                             if pt_id in cand_pdf else "int64"),
+            "poly_id": pd.Series([], dtype="int64")})
         if cand_pdf.empty or poly_pdf.empty:
-            return pd.DataFrame({pt_id: pd.Series([], dtype=cand_pdf[pt_id].dtype
-                                                  if pt_id in cand_pdf else "int64"),
-                                 "poly_id": pd.Series([], dtype="int64")})
-        rings = P.unwrap_antimeridian(
-            wkb.wkb_to_rings(bytes(poly_pdf["_wkb"].iloc[0])))
-        x = cand_pdf[lon].to_numpy(dtype=np.float64)
-        y = cand_pdf[lat].to_numpy(dtype=np.float64)
-        if P.ring_bbox(rings)[2] > 180.0:
-            x = np.where(x < 0.0, x + 360.0, x)
-        m = P.point_in_rings(x, y, rings)
-        out = cand_pdf.loc[m, [pt_id]].copy()
-        out["poly_id"] = int(poly_pdf["poly_id"].iloc[0])
-        return out
+            return empty
+        wkb_by_id = dict(zip(poly_pdf["poly_id"].to_numpy(),
+                             poly_pdf["_wkb"]))
+        outs = []
+        # decode each polygon ONCE per group, ray-cast its candidate
+        # batch vectorized (same kernel as PolygonIndex.refine_udf)
+        for pid, grp in cand_pdf.groupby("poly_id", sort=False):
+            g = wkb_by_id.get(pid)
+            if g is None:
+                continue
+            rings = P.unwrap_antimeridian(wkb.wkb_to_rings(bytes(g)))
+            x = grp[lon].to_numpy(dtype=np.float64)
+            y = grp[lat].to_numpy(dtype=np.float64)
+            if P.ring_bbox(rings)[2] > 180.0:
+                x = np.where(x < 0.0, x + 360.0, x)
+            m = P.point_in_rings(x, y, rings)
+            out = grp.loc[m, [pt_id]].copy()
+            out["poly_id"] = int(pid)
+            outs.append(out)
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
     pairs = (
-        cand.groupBy("poly_id", "_salt")
-        .cogroup(polys_s.groupBy("poly_id", "_salt"))
+        cand.groupBy("_bkt", "_salt")
+        .cogroup(polys_s.groupBy("_bkt", "_salt"))
         .applyInPandas(refine, out_schema)
     )
 
