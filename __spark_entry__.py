@@ -159,6 +159,20 @@ def q_spatial_join_within_sql() -> str:
     return _inner_join_oracle_sql("pt_id")
 
 
+def q_spatial_join_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same join with the Arrow pandas refine FORCED (the path auto
+    mode reserves for ring sets too large for a codegen CASE) — both
+    refine implementations stay driver-verified against the one
+    oracle; they evaluate the identical IEEE crossing formula."""
+    pts = _points(spark, sf_dir)
+    return sj.spatial_join(pts, _poly_index(), how="inner",
+                           refine="arrow").select("pt_id", "poly_id")
+
+
+def q_spatial_join_arrow_sql() -> str:
+    return _inner_join_oracle_sql("pt_id")
+
+
 def q_spatial_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     """perform_spatial_join(join_how='left'): unmatched points kept
     with null poly_id (vectorattrs/__init__.py:1276 join_how)."""
@@ -2112,6 +2126,7 @@ _REGISTRY: dict[str, tuple] = {
     "cell_rollup": (q_cell_rollup, q_cell_rollup_sql),
     "hex_assign": (q_hex_assign, q_hex_assign_sql),
     "spatial_join_within": (q_spatial_join_within, q_spatial_join_within_sql),
+    "spatial_join_arrow": (q_spatial_join_arrow, q_spatial_join_arrow_sql),
     "spatial_join_left": (q_spatial_join_left, q_spatial_join_left_sql),
     "spatial_join_big": (q_spatial_join_big, q_spatial_join_big_sql),
     "count_pt_intersects": (q_count_pt_intersects, q_count_pt_intersects_sql),

