@@ -180,6 +180,7 @@ class PolygonIndex:
         pipeline instead stays inside one WholeStageCodegen span:
         zero Python processes in the hot path.
         """
+        lon, lat = f"`{lon}`", f"`{lat}`"  # names, not expressions
         whens = []
         for p in self.polys:
             x = lon

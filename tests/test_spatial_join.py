@@ -278,3 +278,36 @@ def test_codegen_refine_plan_has_no_python(pts):
     plan_arrow = sj.spatial_join(pts, idx, refine="arrow") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan_arrow
+
+
+def test_codegen_refine_random_concave_polygons(spark):
+    """Randomized star-shaped (concave) polygons: the codegen CASE
+    refine must agree with the numpy ray-cast on every (point, poly)
+    pair — one seeded draw, 24 polys x 1500 points."""
+    rng = np.random.default_rng(7)
+    polys = []
+    for pid in range(24):
+        cx, cy = rng.uniform(-170, 170), rng.uniform(-80, 80)
+        k = int(rng.integers(5, 12))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        rad = rng.uniform(0.5, 4.0, k)  # varying radii → concave
+        ring = np.stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)], 1)
+        ring = np.vstack([ring, ring[:1]])
+        polys.append(dict(poly_id=pid, rings=[ring]))
+    idx = sj.PolygonIndex(polys, res=None)
+
+    px = rng.uniform(-175, 175, 1500)
+    py = rng.uniform(-85, 85, 1500)
+    pts_df = spark.createDataFrame(
+        [(i, float(px[i]), float(py[i])) for i in range(len(px))],
+        "pt_id BIGINT, lon DOUBLE, lat DOUBLE")
+
+    got = {(r.pt_id, r.poly_id)
+           for r in sj.spatial_join(pts_df, idx, refine="codegen")
+           .select("pt_id", "poly_id").collect()}
+    want = set()
+    for p in polys:
+        inside = predicates.point_in_rings(px, py, p["rings"])
+        for i in np.nonzero(inside)[0]:
+            want.add((int(i), p["poly_id"]))
+    assert got == want and len(want) >= 5  # sparse layer: ~10 expected hits

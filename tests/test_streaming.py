@@ -109,3 +109,29 @@ def test_stateful_first_seen_dedup_across_batches(spark, tmp_path):
     assert got2 == {"http://a/1": "first crawl a",
                     "http://b/2": "first crawl b",
                     "http://c/3": "first crawl c"}
+
+
+def test_stream_spatial_join_matches_batch(spark, tmp_path):
+    """The streaming spatial join (geoparse → cells → broadcast join
+    → codegen refine, append mode, no watermark) emits exactly the
+    batch join's (url, poly_id) pairs."""
+    from rsgislib_spark.data import fixtures
+    from rsgislib_spark.operators import spatial_join as sj
+
+    src = str(tmp_path / "pages_sj_in")
+    out = str(tmp_path / "pairs_out")
+    ckpt = str(tmp_path / "sj_ckpt")
+
+    pages.pages_df(spark, 3000).drop("lon_true", "lat_true").write.parquet(src)
+    idx = sj.PolygonIndex.from_fixture(fixtures.POLYGONS)
+
+    joined = ingest.stream_spatial_join(ingest.stream_pages(spark, src), idx)
+    assert joined.isStreaming
+    ingest.run_available_now(joined.select("url", "poly_id"), out, ckpt)
+
+    got = {(r.url, r.poly_id) for r in spark.read.parquet(out).collect()}
+    batch_pts = geoparse(spark.read.parquet(src)).where("lon IS NOT NULL")
+    want = {(r.url, r.poly_id)
+            for r in sj.spatial_join(batch_pts, idx, how="inner")
+            .select("url", "poly_id").collect()}
+    assert got == want and len(want) > 0
