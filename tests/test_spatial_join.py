@@ -311,3 +311,16 @@ def test_codegen_refine_random_concave_polygons(spark):
         for i in np.nonzero(inside)[0]:
             want.add((int(i), p["poly_id"]))
     assert got == want and len(want) >= 5  # sparse layer: ~10 expected hits
+
+
+def test_auto_refine_dispatch_by_edge_count(pts):
+    """auto picks the codegen CASE under codegen_max_edges and the
+    Arrow UDF above it (a giant CASE would leave JIT'd codegen)."""
+    idx = sj.PolygonIndex.from_fixture(fixtures.POLYGONS)
+    n_edges = idx.total_edges()
+    plan_small = sj.spatial_join(pts, idx, codegen_max_edges=n_edges) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan_small
+    plan_big = sj.spatial_join(pts, idx, codegen_max_edges=n_edges - 1) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan_big
