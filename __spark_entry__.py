@@ -2176,12 +2176,11 @@ _REGISTRY: dict[str, tuple] = {
     "polygonize": (q_polygonize, q_polygonize_sql),
     "img_correlation": (q_img_correlation, q_img_correlation_sql),
     "mutual_info": (q_mutual_info, q_mutual_info_sql),
-    "emd": (q_emd, q_emd_sql),
-    "zonal_masked": (q_zonal_masked, q_zonal_masked_sql),
-    # nontrivial relational ops
     # ---- driver window boundary (first 50 above) ----
-    # long-stable trivial ops: green in r1 AND r2 driver gates; still
-    # checked every round by the local DuckDB gate
+    # below: r2-driver-green stats + long-stable trivial ops (green in
+    # r1 AND/OR r2 driver gates); still checked every round by the
+    # local DuckDB gate
+    "emd": (q_emd, q_emd_sql),
     "zonal_masked": (q_zonal_masked, q_zonal_masked_sql),
     "range_lut_join": (q_range_lut_join, q_range_lut_join_sql),
     "unq_numeric_col": (q_unq_numeric_col, q_unq_numeric_col_sql),

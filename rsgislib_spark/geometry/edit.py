@@ -38,7 +38,13 @@ def simplify_ring(ring: np.ndarray, tol: float) -> np.ndarray:
     # the new chord (true DP semantics), never against
     # already-simplified neighbours, so removals cannot compound past
     # the tol bound.
-    kept = _kept_indices(pts, out)
+    # the sweep maps simplified vertices back to original indices BY
+    # VALUE — a ring with repeated coordinates (spike/touch point)
+    # would lock onto the wrong occurrence and test deviation over the
+    # wrong span; skip the sweep for such rings (DP result is already
+    # within tol, the sweep is only an extra-trim optimization)
+    has_dup = len(np.unique(pts, axis=0)) != len(pts)
+    kept = None if has_dup else _kept_indices(pts, out)
     if kept is not None:
         for anchor in (mid, len(pts) - 1, 0):
             if len(kept) <= 3 or anchor not in kept:

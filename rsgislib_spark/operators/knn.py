@@ -186,7 +186,16 @@ def knn_kring(points: DataFrame, sites: DataFrame, res: int | None = None,
             .drop("_bs")
         )
         guarantee = (r * cell_h) ** 2
-        final = best.where(F.col("nn_dist_sq") <= F.lit(guarantee))
+        # EAGER localCheckpoint: materialize this round's resolved
+        # rows now, while this round's `remaining` is still cached.
+        # Without it `resolved` stays a lazy plan over per-round
+        # frames that are unpersisted as the loop advances — the
+        # output join would silently re-execute every round's
+        # cand/argmin chain from scratch. The checkpoint also lets
+        # the anti-join below read the materialized result instead
+        # of recomputing it.
+        final = best.where(
+            F.col("nn_dist_sq") <= F.lit(guarantee)).localCheckpoint()
         resolved = final if resolved is None else resolved.unionByName(final)
         # persist each round's remainder: the anti-join chain would
         # otherwise re-execute all previous rounds every iteration
@@ -212,8 +221,11 @@ def knn_kring(points: DataFrame, sites: DataFrame, res: int | None = None,
         tail = knn_broadcast(
             remaining.drop("cell"), sites, k=1, lon=lon, lat=lat,
             site_id=site_id, site_lon=site_lon, site_lat=site_lat,
-        ).select(pid, "nn_site_id", "nn_dist_sq")
+        ).select(pid, "nn_site_id", "nn_dist_sq").localCheckpoint()
         resolved = tail if resolved is None else resolved.unionByName(tail)
+    # the break path leaves an EMPTY remaining (safe to release now);
+    # on the fallback path the tail was checkpointed above, so nothing
+    # references the cached remainder either way
     remaining.unpersist()
     # payload joined back ONCE on the id key
     out = pts_full.join(resolved, pid, "inner")

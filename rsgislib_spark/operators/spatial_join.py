@@ -435,8 +435,14 @@ def spatial_join_df(points: DataFrame, polys: DataFrame,
                                    F.lit(refine_buckets)).cast("int"))
         .withColumn("_salt", F.pmod(F.xxhash64(pt_id), F.lit(salt)).cast("int"))
     )
+    # cast to BIGINT before hashing: xxhash64 is TYPE-sensitive
+    # (hashInt != hashLong for the same value), and the cand side's
+    # poly_id is BIGINT via poly_cover_df's declared schema — hashing
+    # an INT id column raw would land the two sides in different
+    # buckets and silently produce an empty join
     polys_s = polys.select(
-        F.col(id_col).alias("poly_id"), F.col(geom_col).alias("_wkb")
+        F.col(id_col).cast("bigint").alias("poly_id"),
+        F.col(geom_col).alias("_wkb")
     ).withColumn("_bkt", F.pmod(F.xxhash64("poly_id"),
                                 F.lit(refine_buckets)).cast("int")) \
      .withColumn("_salt", F.explode(F.array(*[F.lit(s) for s in range(salt)])))

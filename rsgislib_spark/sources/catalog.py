@@ -38,11 +38,23 @@ def iceberg_available(spark) -> bool:
         return False
 
 
+_PATH_SUFFIXES = (".parquet", ".orc", ".json", ".csv", ".avro", ".db")
+
+
 def is_table_identifier(target: str) -> bool:
-    """Heuristic: catalog identifiers are dotted names without path
-    separators; anything with a '/' (or scheme) is a filesystem
-    path."""
-    return "/" not in target and "\\" not in target and "." in target
+    """Heuristic: catalog identifiers are dotted names
+    (``catalog.db.table``) without path separators. Anything with a
+    path separator, a scheme, a relative-path prefix, or a data-file
+    extension (``out.parquet`` is a filename, not a table) is a
+    filesystem path — misrouting a path to the catalog branch would
+    raise (no Iceberg runtime) or hit spark.table() with a filename."""
+    if "/" in target or "\\" in target or ":" in target:
+        return False
+    if target.startswith("."):
+        return False
+    if target.lower().endswith(_PATH_SUFFIXES):
+        return False
+    return "." in target
 
 
 def write_partitioned(df: DataFrame, target: str, cell_col: str,
@@ -69,19 +81,27 @@ def write_partitioned(df: DataFrame, target: str, cell_col: str,
             df.writeTo(target).using("iceberg") \
                 .partitionedBy(F.col(cell_col)).createOrReplace()
         else:
-            try:
+            # explicit existence probe, NOT try/except around the
+            # write: a bare except would read every failure (schema
+            # mismatch, catalog misconfig, transient fault) as
+            # "table missing" and bury the root cause under a
+            # confusing create() error
+            if spark.catalog.tableExists(target):
                 df.writeTo(target).overwritePartitions()
-            except Exception:
-                # first write: the table does not exist yet
+            else:
                 df.writeTo(target).using("iceberg") \
                     .partitionedBy(F.col(cell_col)).create()
         return "iceberg"
     writer = df.write.option("partitionOverwriteMode", "dynamic") \
         .partitionBy(cell_col)
-    if mode == "append":
-        writer.mode("append").parquet(target)
-    else:
+    if mode in ("overwrite", "overwrite-partitions"):
+        # dynamic overwrite: replaces only the partitions present
         writer.mode("overwrite").parquet(target)
+    else:
+        # pass through append/error/errorifexists/ignore untouched —
+        # coercing them to overwrite would destroy data the caller
+        # asked to protect
+        writer.mode(mode).parquet(target)
     return "parquet"
 
 

@@ -53,7 +53,7 @@ def run_available_now(stream_df: DataFrame, out_path: str,
     q.awaitTermination()
 
 
-def stream_spatial_join(pages: DataFrame, index, how: str = "inner",
+def stream_spatial_join(pages: DataFrame, index,
                         refine: str = "auto") -> DataFrame:
     """Streaming geoparse → cell assign → spatial join.
 
@@ -66,9 +66,14 @@ def stream_spatial_join(pages: DataFrame, index, how: str = "inner",
     stream-side pandas UDF). A 1000-executor cluster runs this on a
     live WARC feed with the same zero-shuffle hot path the scaling
     bench measures.
+
+    Inner-join semantics only: the other hows rejoin matches to the
+    input — a stream-stream join Spark rejects without
+    watermark+time-bound machinery. For left/anti semantics on a
+    stream, land the inner pairs and reconcile in batch.
     """
     from ..operators import spatial_join as sj
 
     pts = geoparse(pages).where("lon IS NOT NULL")
-    return sj.spatial_join(pts, index, how=how, refine=refine,
+    return sj.spatial_join(pts, index, how="inner", refine=refine,
                            pt_id_col="url")

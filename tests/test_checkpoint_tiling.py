@@ -184,3 +184,30 @@ def test_catalog_identifier_requires_iceberg(spark, assigned):
     df = assigned.select("url", "cell_r5")
     with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
         catalog.write_partitioned(df, "local.db.tiles", "cell_r5")
+
+
+def test_catalog_path_vs_identifier_classification():
+    """Filenames and paths must never route to the catalog branch."""
+    from rsgislib_spark.sources import catalog
+
+    assert catalog.is_table_identifier("local.db.tiles")
+    assert catalog.is_table_identifier("prod.tiles")
+    for path in ["/tmp/db.table/x", "out.parquet", "data.ORC",
+                 "./rel.dir", "s3://bucket/x", "C:\\data\\t",
+                 "plain_name", "warehouse.db"]:
+        assert not catalog.is_table_identifier(path), path
+
+
+def test_catalog_write_mode_error_is_not_coerced(spark, tmp_path):
+    """mode='error' must raise on an existing target, never silently
+    overwrite it."""
+    import pytest as _pytest
+    from rsgislib_spark.sources import catalog
+
+    df = spark.range(4).selectExpr("id", "id % 2 AS cell")
+    path = str(tmp_path / "modes.parquet")
+    catalog.write_partitioned(df, path, "cell")
+    with _pytest.raises(Exception):
+        catalog.write_partitioned(df, path, "cell", mode="error")
+    # and the original data survived
+    assert catalog.read_partitioned(spark, path).count() == 4

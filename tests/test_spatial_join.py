@@ -324,3 +324,16 @@ def test_auto_refine_dispatch_by_edge_count(pts):
     plan_big = sj.spatial_join(pts, idx, codegen_max_edges=n_edges - 1) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan_big
+
+
+def test_spatial_join_df_int_poly_id(spark, pts, polys_wkb_df, oracle_pairs):
+    """INT (not BIGINT) poly_id column: the refine bucket hash must
+    cast to BIGINT before hashing (xxhash64 is type-sensitive —
+    hashing an INT raw would bucket the polygon side differently from
+    the BIGINT cover side and silently return an empty join)."""
+    polys_int = polys_wkb_df.withColumn(
+        "poly_id", F.col("poly_id").cast("int"))
+    got = {(r.url, r.poly_id)
+           for r in sj.spatial_join_df(pts, polys_int, pt_id_col="url")
+           .select("url", "poly_id").collect()}
+    assert got == oracle_pairs

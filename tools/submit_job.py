@@ -48,9 +48,13 @@ def main() -> None:
     joined = sj.spatial_join(assigned, idx, how="left")
 
     cell_col = f"cell_r{args.partition_res}"
+    # prune_stale=True: this job OWNS args.out exclusively, so tiles
+    # from a superseded lineage (e.g. a different --pages) must not
+    # survive to mix into reads; the library default stays False for
+    # shared/append paths
     stats = checkpoint.checkpointed_write(
         joined.select("url", "lon", "lat", "poly_id", cell_col),
-        args.out, cell_col)
+        args.out, cell_col, prune_stale=True)
 
     print(json.dumps({
         "pages": pg.count(),
