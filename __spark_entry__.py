@@ -604,7 +604,7 @@ def q_rm_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic keeper (lowest event_id)."""
     from rsgislib_spark.operators import vector_ops as V
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _events(spark, sf_dir).select(
         "event_id", "user_id", "event_type", "value")
     return V.rm_duplicates(
         ev.withColumn("k", F.concat_ws("_", "user_id", "event_type")),
@@ -643,7 +643,7 @@ def q_count_per_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """count_feats_per_att_val (vectorutils/__init__.py:323)."""
     from rsgislib_spark.operators import vector_ops as V
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     return V.count_per_value(ev, "event_type")
 
 
@@ -741,6 +741,21 @@ FROM counts JOIN tot ON counts.c_nationkey = tot.c_nationkey
 """
 
 
+#: Explicit events schema — ``ts`` PINNED to TIMESTAMP_NTZ. The fixture
+#: stores a naive timestamp (parquet isAdjustedToUTC=false); forcing the
+#: read schema means no driver session conf (``inferTimestampNTZ``,
+#: session timezone, reader defaults, Spark build differences) can ever
+#: route the column through an instant type. ``_epoch_us`` then does
+#: pure wall-clock arithmetic, bit-identical to DuckDB's epoch_us.
+EVENTS_SCHEMA = ("event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+                 "event_type STRING, value DOUBLE, props STRING")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.schema(EVENTS_SCHEMA).parquet(
+        f"{sf_dir}/events.parquet")
+
+
 def _epoch_us(ev: DataFrame, col: str = "ts"):
     """Timezone-INDEPENDENT micros-since-epoch of a parquet timestamp.
 
@@ -766,7 +781,8 @@ def q_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     analog, SURVEY.md §2.5)."""
     from pyspark.sql import Window
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _events(spark, sf_dir)
     us = _epoch_us(ev)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
@@ -790,7 +806,8 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the streaming twin is streaming/stateful.py."""
     from pyspark.sql import Window
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _events(spark, sf_dir)
     us = _epoch_us(ev)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = us - F.lag(us).over(w)
@@ -815,12 +832,18 @@ WITH g AS (
            (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
   FROM events),
 s AS (
+  -- CAST AS BIGINT is load-bearing: DuckDB's SUM(int) returns HUGEINT
+  -- (int128), which round-trips through Arrow/pandas as decimal128 /
+  -- float64 ("3.0") while Spark's sum is BIGINT ("3") — a value-hash
+  -- mismatch invisible to fetchall()-based comparisons. This was the
+  -- only decimal128 output column across all 70 oracles (r2/r3's one
+  -- persistently red driver row).
   SELECT user_id, ts,
-         SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+         CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
                   THEN 1 ELSE 0 END) OVER
            (PARTITION BY user_id ORDER BY ts, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS session_seq
+           AS BIGINT) AS session_seq
   FROM g)
 SELECT user_id, session_seq, COUNT(*) AS n_events,
        MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS dur_us
@@ -1213,7 +1236,7 @@ def q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from rsgislib_spark.operators import timeseries
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("event_id")
     obs = ev.select(
         "user_id",

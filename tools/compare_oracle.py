@@ -68,9 +68,22 @@ def main():
             print(f"{name}: rows={len(srows)} (no oracle — rows-only)")
             continue
         try:
-            res = con.execute(oracles[name])
-            drows = res.fetchall()
-            dcols = [d[0] for d in res.description]
+            # fetch via Arrow, NOT fetchall(): the driver's hasher sees
+            # Arrow/pandas values. DuckDB HUGEINT (e.g. SUM(int)) is a
+            # Python int under fetchall() ("3") but decimal128/float64
+            # under Arrow/pandas ("3.0") — fetchall() masked exactly the
+            # sessionize hash-red that the driver kept reporting.
+            tbl = con.execute(oracles[name]).fetch_arrow_table()
+            dcols = tbl.column_names
+            drows = list(zip(*(tbl.column(c).to_pylist() for c in dcols))) \
+                if tbl.num_rows else []
+            decs = [f"{f.name}:{f.type}" for f in tbl.schema
+                    if "decimal" in str(f.type)]
+            if decs:
+                print(f"{name}: DECIMAL ORACLE COLUMN (driver-hash hazard,"
+                      f" CAST it): {decs}")
+                failures.append(name)
+                continue
         except Exception as e:  # noqa: BLE001
             print(f"{name}: ORACLE SQL ERROR: {e}")
             failures.append(name)
