@@ -1735,6 +1735,64 @@ SELECT a, b, ROUND(score, 6) AS score FROM scored WHERE score >= 0.4
 """
 
 
+def q_cosine_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via random-hyperplane LSH — the SCALE path
+    (banded signature buckets -> candidate equi-join -> exact-cosine
+    verify; no crossJoin anywhere, unlike the brute-force baseline
+    cosine_neardup). Runs over the FULL embeddings table. Same
+    threshold as the baseline so precision vs it is 1 by
+    construction; recall follows the hyperplane collision curve
+    (property-tested in tests/test_similarity.py)."""
+    from rsgislib_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.lsh_neardup_pairs(
+        emb, threshold=0.4, n_bits=16, bands=4, dim=64, seed=42)
+
+
+def q_cosine_lsh_neardup_sql() -> str:
+    """DuckDB twin of lsh_neardup_pairs: the SAME seeded hyperplanes
+    embedded as literals (repr round-trips exactly), each sign dot
+    unrolled as a left-associative sum — bit-identical to Spark's
+    F.aggregate left fold, so the bucket decision (the only
+    discontinuous step) matches exactly; the verify cosine reuses the
+    generate_series SUM + ROUND(6) pattern of the other gated
+    embedding queries."""
+    from rsgislib_spark.operators import similarity
+
+    planes = similarity.hyperplanes(n_bits=16, dim=64, seed=42)
+    bit_terms = []
+    for i in range(16):
+        dot = " + ".join(
+            f"CAST(embedding[{j + 1}] AS DOUBLE)*({planes[i][j]!r})"
+            for j in range(64))
+        bit_terms.append(
+            f"CASE WHEN (0.0 + {dot}) >= 0.0 THEN {1 << i} ELSE 0 END")
+    sig = " + ".join(bit_terms)
+    return f"""
+WITH sig AS (
+  SELECT vec_id, {sig} AS sig FROM embeddings),
+bk AS (
+  SELECT vec_id, bi.bi AS band, (sig >> (bi.bi * 4)) & 15 AS bh
+  FROM sig, generate_series(0, 3) bi(bi)),
+cand AS (
+  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+  FROM bk l JOIN bk r ON l.band = r.band AND l.bh = r.bh
+  WHERE l.vec_id < r.vec_id),
+scored AS (
+  SELECT c.a, c.b,
+         SUM(CAST(ea.embedding[i.i] AS DOUBLE) * CAST(eb.embedding[i.i] AS DOUBLE))
+         / (SQRT(SUM(CAST(ea.embedding[i.i] AS DOUBLE) * CAST(ea.embedding[i.i] AS DOUBLE)))
+            * SQRT(SUM(CAST(eb.embedding[i.i] AS DOUBLE) * CAST(eb.embedding[i.i] AS DOUBLE))))
+         AS score
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.a
+  JOIN embeddings eb ON eb.vec_id = c.b, generate_series(1, 64) i(i)
+  GROUP BY 1, 2)
+SELECT a, b, ROUND(score, 6) AS score FROM scored WHERE score >= 0.4
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-invariant document fingerprint (md5 of sorted distinct
     tokens) — catches token-shuffled duplicates."""
@@ -2172,6 +2230,7 @@ _REGISTRY: dict[str, tuple] = {
     "blob_meta": (q_blob_meta, q_blob_meta_sql),
     "cosine_topk": (q_cosine_topk, q_cosine_topk_sql),
     "cosine_neardup": (q_cosine_neardup, q_cosine_neardup_sql),
+    "cosine_lsh_neardup": (q_cosine_lsh_neardup, q_cosine_lsh_neardup_sql),
     "ivf_topk": (q_ivf_topk, q_ivf_topk_sql),
     "pages_pipeline": (q_pages_pipeline, q_pages_pipeline_sql),
     "extract_text": (q_extract_text, q_extract_text_sql),

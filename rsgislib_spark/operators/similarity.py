@@ -83,16 +83,25 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
     )
 
 
+def hyperplanes(n_bits: int = 16, dim: int = 64, seed: int = 42):
+    """The deterministic seeded gaussian hyperplane matrix (n_bits x
+    dim). Exposed so an external oracle (DuckDB) can embed the SAME
+    planes as SQL literals — repr(float) round-trips exactly, and the
+    sign decision is then bit-identical across engines when the dot is
+    evaluated in the same left-fold order."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim))
+
+
 def hyperplane_signature(df: DataFrame, n_bits: int = 16, dim: int = 64,
                          id_col: str = "vec_id", vec_col: str = "embedding",
                          seed: int = 42) -> DataFrame:
     """Random-hyperplane LSH signature: bit i = sign(v . r_i).
     Hyperplanes are a deterministic seeded gaussian (driver numpy,
     broadcast as literals — a few KB)."""
-    import numpy as np
-
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_bits, dim))
+    planes = hyperplanes(n_bits, dim, seed)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     bits = None
     for i in range(n_bits):
