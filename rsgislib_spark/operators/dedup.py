@@ -379,8 +379,13 @@ def near_dup_groups(pairs: DataFrame,
 
     spark = pairs.sparkSession
     edges = pairs.selectExpr("a AS la", "b AS lb")
-    rows = edges.limit(driver_edge_limit).collect()
-    if len(rows) < driver_edge_limit:
+    # decide the path with a COUNT (limit+1 caps the scan), never by
+    # materializing edges on the driver: a graph just over the limit
+    # would otherwise pull driver_edge_limit rows only to discard
+    # them and run the distributed closure anyway
+    n_capped = edges.limit(driver_edge_limit + 1).count()
+    if n_capped <= driver_edge_limit:
+        rows = edges.collect()
         remap = _closure_from_rows(spark, rows)
         node_ids = sorted({r.la for r in rows} | {r.lb for r in rows})
         nodes = spark.createDataFrame(

@@ -171,17 +171,23 @@ def ivf_train_centroids(corpus: DataFrame, n_centroids: int | None = None,
     for _ in range(n_iters):
         assigned = ivf_assign(corpus, n_centroids, dim, vec_col=vec_col,
                               centroids=cents)
+        # PACKED per-cell means: one row per cell carrying the whole
+        # mean vector (dim avg aggregates, all map-side combinable) —
+        # the driver pull is O(k) rows, not the O(k*dim) that
+        # posexplode+groupBy(cell,pos) produced (~33M rows at the
+        # auto clamp k=65536, dim=512)
         means = (
-            assigned.select("ivf_cell",
-                            F.posexplode(F.col(vec_col)).alias("pos", "v"))
-            .groupBy("ivf_cell", "pos").agg(F.avg("v").alias("m"))
+            assigned.groupBy("ivf_cell")
+            .agg(F.array(*[
+                F.avg(F.col(vec_col)[i].cast("double"))
+                for i in range(dim)]).alias("m"))
             .collect()
         )
         new = cents.copy()
         acc = np.zeros((n_centroids, dim))
         seen = np.zeros(n_centroids, dtype=bool)
         for r in means:
-            acc[r["ivf_cell"], r["pos"]] = r["m"]
+            acc[r["ivf_cell"]] = r["m"]
             seen[r["ivf_cell"]] = True
         norms = np.linalg.norm(acc, axis=1, keepdims=True)
         ok = seen & (norms[:, 0] > 0)

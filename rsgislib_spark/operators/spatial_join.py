@@ -181,6 +181,11 @@ class PolygonIndex:
         zero Python processes in the hot path.
         """
         lon, lat = f"`{lon}`", f"`{lat}`"  # names, not expressions
+        if not self.polys:
+            # zero WHEN clauses would render "CASE ELSE false END",
+            # which the SQL parser rejects; an empty index matches
+            # nothing (the Arrow refine's behavior on no candidates)
+            return F.lit(False)
         whens = []
         for p in self.polys:
             x = lon

@@ -81,20 +81,37 @@ def write_partitioned(df: DataFrame, target: str, cell_col: str,
             df.writeTo(target).using("iceberg") \
                 .partitionedBy(F.col(cell_col)).createOrReplace()
         else:
-            # explicit existence probe, NOT try/except around the
-            # write: a bare except would read every failure (schema
-            # mismatch, catalog misconfig, transient fault) as
-            # "table missing" and bury the root cause under a
-            # confusing create() error
+            # explicit existence probe, NOT a bare try/except around
+            # the write: a blanket except would read every failure
+            # (schema mismatch, catalog misconfig, transient fault)
+            # as "table missing" and bury the root cause under a
+            # confusing create() error. Caveat: tableExists with a
+            # 3-part identifier needs Spark 3.4+ — older builds return
+            # False for an existing table — so the create() fallback
+            # catches ONLY the already-exists error and retries as
+            # overwritePartitions (never createOrReplace: a false
+            # negative must not escalate partition-overwrite into a
+            # full-table replace).
             if spark.catalog.tableExists(target):
                 df.writeTo(target).overwritePartitions()
             else:
-                df.writeTo(target).using("iceberg") \
-                    .partitionedBy(F.col(cell_col)).create()
+                try:
+                    df.writeTo(target).using("iceberg") \
+                        .partitionedBy(F.col(cell_col)).create()
+                except Exception as e:  # noqa: BLE001
+                    if "already exists" not in str(e).lower():
+                        raise
+                    df.writeTo(target).overwritePartitions()
         return "iceberg"
+    if mode == "overwrite":
+        # STATIC overwrite — full-table replace (matches the Iceberg
+        # branch's createOrReplace); the dynamic option here would
+        # silently keep partitions absent from df
+        df.write.partitionBy(cell_col).mode("overwrite").parquet(target)
+        return "parquet"
     writer = df.write.option("partitionOverwriteMode", "dynamic") \
         .partitionBy(cell_col)
-    if mode in ("overwrite", "overwrite-partitions"):
+    if mode == "overwrite-partitions":
         # dynamic overwrite: replaces only the partitions present
         writer.mode("overwrite").parquet(target)
     else:

@@ -198,6 +198,28 @@ def test_catalog_path_vs_identifier_classification():
         assert not catalog.is_table_identifier(path), path
 
 
+def test_catalog_overwrite_static_vs_partitions(spark, tmp_path):
+    """mode='overwrite' is a FULL-table replace (stale partitions
+    gone — matches the Iceberg branch's createOrReplace), while
+    'overwrite-partitions' replaces only partitions present in df."""
+    from rsgislib_spark.sources import catalog
+
+    path = str(tmp_path / "ow")
+    full = spark.range(8).selectExpr("id", "id % 4 AS cell")
+    catalog.write_partitioned(full, path, "cell")
+    two = spark.range(4).selectExpr("id", "id % 2 AS cell")
+    # dynamic: cells 2,3 survive
+    catalog.write_partitioned(two, path, "cell", mode="overwrite-partitions")
+    back = catalog.read_partitioned(spark, path)
+    assert set(r["cell"] for r in back.select("cell").distinct().collect()) \
+        == {0, 1, 2, 3}
+    # static: cells 2,3 are gone
+    catalog.write_partitioned(two, path, "cell", mode="overwrite")
+    back = catalog.read_partitioned(spark, path)
+    assert set(r["cell"] for r in back.select("cell").distinct().collect()) \
+        == {0, 1}
+
+
 def test_catalog_write_mode_error_is_not_coerced(spark, tmp_path):
     """mode='error' must raise on an existing target, never silently
     overwrite it."""

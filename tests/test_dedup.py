@@ -157,3 +157,30 @@ def test_near_dup_groups_distributed_path_matches(spark):
               for r in dd.near_dup_groups(pairs,
                                           driver_edge_limit=1).collect()}
     assert small == forced
+
+
+def test_near_dup_groups_distributed_path_never_collects(spark, monkeypatch):
+    """Structural: above driver_edge_limit the closure must stay fully
+    distributed — path selection is a COUNT, never a materialized edge
+    batch (a graph just over the limit must not pull limit rows to the
+    driver only to discard them)."""
+    from rsgislib_spark.operators import dedup as dd
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (10, 11), (9, 12)], "a BIGINT, b BIGINT")
+    # patch the CONCRETE class (Spark 4: pyspark.sql.DataFrame is an
+    # abstract base whose collect is overridden by classic.DataFrame)
+    DataFrame = type(pairs)
+    pulls = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        rows = orig(self)
+        pulls.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    out = dd.near_dup_groups(pairs, driver_edge_limit=1)
+    assert pulls == [], f"distributed path collected {pulls}"
+    monkeypatch.setattr(DataFrame, "collect", orig)
+    assert out.count() == 8  # every node of the pair graph appears

@@ -127,3 +127,26 @@ def test_auto_n_centroids_sqrt_scaling():
         k = auto_n_centroids(n)
         assert k >= prev
         prev = k
+
+
+def test_ivf_training_driver_pull_is_packed(spark, emb, monkeypatch):
+    """Structural: each training iteration pulls O(k) PACKED rows (one
+    mean vector per cell), never the O(k*dim) posexplode rows — at the
+    auto clamp (k=65536, dim=512) the unpacked shape is ~33M rows per
+    iteration."""
+    # patch the CONCRETE class (Spark 4: pyspark.sql.DataFrame is an
+    # abstract base whose collect is overridden by classic.DataFrame)
+    DataFrame = type(emb)
+    pulls = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        rows = orig(self)
+        pulls.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    similarity.ivf_train_centroids(emb, n_centroids=16, dim=64, n_iters=2)
+    monkeypatch.setattr(DataFrame, "collect", orig)
+    assert pulls, "training ran no aggregation"
+    assert max(pulls) <= 16, f"driver pull exceeded n_centroids: {pulls}"
