@@ -27,7 +27,17 @@ MEDIA_META_SCHEMA = (
     "width INT, height INT, n_frames INT, sample_rate INT"
 )
 
-REAL_DECODERS_AVAILABLE = False  # no PIL/ffmpeg in this container
+def decoders_available() -> bool:
+    """True iff a real image decoder (PIL) is importable — probed at
+    call time, same pattern as sources.catalog.iceberg_available, so
+    a cluster WITH the library gets real decode with no code change.
+    (This container has no PIL/ffmpeg; the stub path runs here.)"""
+    try:
+        from PIL import Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
 
 
 def media_meta(df: DataFrame, id_col: str = "media_id",
@@ -51,28 +61,44 @@ def _fake_decode(blob: bytes) -> np.ndarray:
     return rng.reshape(8, 8, 3)
 
 
+def _real_decode(blob: bytes) -> np.ndarray:
+    """PIL decode → 8x8x3 uint8 (RGB, thumbnail-resized to the same
+    shape the stub produces, so the feature schema is identical)."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(blob)).convert("RGB").resize((8, 8))
+    return np.asarray(img, dtype=np.uint8)
+
+
 def decode_features(df: DataFrame, id_col: str = "media_id",
                     blob_col: str = "blob",
-                    use_stub: bool = True) -> DataFrame:
+                    use_stub: bool | None = None) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow batches of
     blobs in, fixed-width feature vectors out) — the real pipeline
     shape: one python worker per partition, batch-vectorized, no
     per-row round trips.
 
-    Features from the stub decode: mean/std per channel + 8x8 gray
-    thumbnail (the classic embedding-ish shape). With a real decoder
-    installed, set use_stub=False and swap _fake_decode.
+    Features: mean/std per channel + 8x8 gray thumbnail (the classic
+    embedding-ish shape). use_stub=None (default) probes for a real
+    decoder (decoders_available) and falls back to the deterministic
+    stub; True forces the stub; False requires the real decoder and
+    raises where none is installed (this container).
     """
-    if not use_stub and not REAL_DECODERS_AVAILABLE:
+    if use_stub is None:
+        use_stub = not decoders_available()
+    if not use_stub and not decoders_available():
         raise NotImplementedError(
             "real image decoding needs PIL/ffmpeg — not in this container; "
             "use use_stub=True (deterministic fake) for plumbing tests")
+    decode = _fake_decode if use_stub else _real_decode
 
     def _decode(batches):
         for pdf in batches:
             ids, feats = [], []
             for mid, blob in zip(pdf[id_col], pdf[blob_col]):
-                arr = _fake_decode(bytes(blob))
+                arr = decode(bytes(blob))
                 gray = arr.mean(axis=2)
                 vec = np.concatenate([
                     arr.reshape(-1, 3).mean(axis=0),

@@ -160,3 +160,25 @@ def test_hex_sql_matches_numpy_on_spark(spark):
     q, r_ = hexgrid.hex_qr_np(lon, lat, 5.0)
     want = (q + hexgrid.HALF) * hexgrid.PACK + (r_ + hexgrid.HALF)
     assert [got[i] for i in range(400)] == want.tolist()
+
+
+def test_h3_interop_probe_gated(spark):
+    """Engine cell ids are NOT H3 ids (documented non-interop); real
+    H3 assignment is probe-gated on the h3 library — raises with
+    guidance here, produces genuine H3 ids where the lib exists."""
+    from rsgislib_spark.cells import h3interop
+
+    pts = spark.createDataFrame(
+        [(0, -0.1278, 51.5074), (1, 2.3522, 48.8566)],
+        "pt_id BIGINT, lon DOUBLE, lat DOUBLE")
+    if not h3interop.h3_available():
+        import pytest as _pytest
+        with _pytest.raises(NotImplementedError, match="pip install h3"):
+            h3interop.assign_h3(pts, res=7)
+        return
+    import h3
+    out = {r.pt_id: r.h3_cell
+           for r in h3interop.assign_h3(pts, res=7).collect()}
+    want = {0: int(h3.str_to_int(h3.latlng_to_cell(51.5074, -0.1278, 7))),
+            1: int(h3.str_to_int(h3.latlng_to_cell(48.8566, 2.3522, 7)))}
+    assert out == want
