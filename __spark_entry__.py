@@ -2202,10 +2202,12 @@ def q_dissolve_union_sql() -> str:
 # r1+r2 driver gates and still bit-exact in the local gate,
 # tools/local_gate.py) are at the tail.
 _REGISTRY: dict[str, tuple] = {
-    # geospatial core
-    "tile_assign": (q_tile_assign, q_tile_assign_sql),
-    "cell_rollup": (q_cell_rollup, q_cell_rollup_sql),
-    "hex_assign": (q_hex_assign, q_hex_assign_sql),
+    # ---- driver window (first 50) — risk-ranked for round 4 ----
+    # changed this round (events reader schema pin / oracle CAST /
+    # path-decision fixes) and the NEW lsh near-dup gate sit inside;
+    # r2-era tail stats rotate back in for re-verification; queries
+    # green in BOTH r2+r3 driver gates and untouched since rotate out.
+    # geospatial core (complex refine/join machinery — keep gated)
     "spatial_join_within": (q_spatial_join_within, q_spatial_join_within_sql),
     "spatial_join_arrow": (q_spatial_join_arrow, q_spatial_join_arrow_sql),
     "spatial_join_left": (q_spatial_join_left, q_spatial_join_left_sql),
@@ -2213,35 +2215,33 @@ _REGISTRY: dict[str, tuple] = {
     "count_pt_intersects": (q_count_pt_intersects, q_count_pt_intersects_sql),
     "annotate_selection": (q_annotate_selection, q_annotate_selection_sql),
     "zonal_stats": (q_zonal_stats, q_zonal_stats_sql),
-    "knn_nearest_site": (q_knn_nearest_site, q_knn_nearest_site_sql),
     "knn_kring": (q_knn_kring, q_knn_nearest_site_sql),
-    "radius_count": (q_radius_count, q_radius_count_sql),
     "knn_haversine": (q_knn_haversine, q_knn_haversine_sql),
-    "radius_count_m": (q_radius_count_m, q_radius_count_m_sql),
-    # webtext / training-data ops (driver-ungated in r2 — now in window)
-    "text_stats": (q_text_stats, q_text_stats_sql),
-    "dedup_exact": (q_dedup_exact, q_dedup_exact_sql),
+    # event analytics — sessionize carries this round's root-cause fix
+    # (HUGEINT oracle CAST + NTZ schema pin); event_deltas shares the
+    # reader, keep the pair gated together
+    "sessionize": (q_sessionize, q_sessionize_sql),
+    "event_deltas": (q_event_deltas, q_event_deltas_sql),
+    # events-reader queries touched by the NTZ schema pin
+    "rm_duplicates": (q_rm_duplicates, q_rm_duplicates_sql),
+    "count_per_value": (q_count_per_value, q_count_per_value_sql),
+    "trend_fit": (q_trend_fit, q_trend_fit_sql),
+    # webtext / training-data ops
     "ngram_jaccard": (q_ngram_jaccard, q_ngram_jaccard_sql),
     "neardup_groups": (q_neardup_groups, q_neardup_groups_sql),
     "minhash_lsh": (q_minhash_lsh, q_minhash_lsh_sql),
     "simhash_groups": (q_simhash_groups, q_simhash_groups_sql),
     "simhash_near": (q_simhash_near, q_simhash_near_sql),
-    "doc_fingerprint": (q_doc_fingerprint, q_doc_fingerprint_sql),
-    "blob_meta": (q_blob_meta, q_blob_meta_sql),
     "cosine_topk": (q_cosine_topk, q_cosine_topk_sql),
     "cosine_neardup": (q_cosine_neardup, q_cosine_neardup_sql),
     "cosine_lsh_neardup": (q_cosine_lsh_neardup, q_cosine_lsh_neardup_sql),
     "ivf_topk": (q_ivf_topk, q_ivf_topk_sql),
     "pages_pipeline": (q_pages_pipeline, q_pages_pipeline_sql),
-    "extract_text": (q_extract_text, q_extract_text_sql),
-    # geometric overlay (driver-ungated in r2 — now in window)
+    # geometric overlay
     "overlay_intersection": (q_overlay_intersection, q_overlay_intersection_sql),
     "overlay_difference": (q_overlay_difference, q_overlay_difference_sql),
     "dissolve_union": (q_dissolve_union, q_dissolve_union_sql),
     "buffer_area": (q_buffer_area, q_buffer_area_sql),
-    # event analytics (sessionize was r2's one red row — tz fix, keep gated)
-    "event_deltas": (q_event_deltas, q_event_deltas_sql),
-    "sessionize": (q_sessionize, q_sessionize_sql),
     # raster ops
     "rasterize": (q_rasterize, q_rasterize_sql),
     "point_extract": (q_point_extract, q_point_extract_sql),
@@ -2253,35 +2253,45 @@ _REGISTRY: dict[str, tuple] = {
     "reproject_mercator": (q_reproject_mercator, q_reproject_mercator_sql),
     "reproject_utm": (q_reproject_utm, q_reproject_utm_sql),
     "attr_knn": (q_attr_knn, q_attr_knn_sql),
-    "trend_fit": (q_trend_fit, q_trend_fit_sql),
     "clump": (q_clump, q_clump_sql),
     "polygonize": (q_polygonize, q_polygonize_sql),
     "img_correlation": (q_img_correlation, q_img_correlation_sql),
     "mutual_info": (q_mutual_info, q_mutual_info_sql),
-    # ---- driver window boundary (first 50 above) ----
-    # below: r2-driver-green stats + long-stable trivial ops (green in
-    # r1 AND/OR r2 driver gates); still checked every round by the
-    # local DuckDB gate
+    # r2-era tail stats rotating back in (last driver row was r2;
+    # re-verify post-refactor)
     "emd": (q_emd, q_emd_sql),
     "zonal_masked": (q_zonal_masked, q_zonal_masked_sql),
     "range_lut_join": (q_range_lut_join, q_range_lut_join_sql),
     "unq_numeric_col": (q_unq_numeric_col, q_unq_numeric_col_sql),
     "cat_proportions": (q_cat_proportions, q_cat_proportions_sql),
+    "grid_histogram": (q_grid_histogram, q_grid_histogram_sql),
+    "band_percentile": (q_band_percentile, q_band_percentile_sql),
+    "mosaic": (q_mosaic, q_mosaic_sql),
+    # ---- driver window boundary (first 50 above) ----
+    # below: green in BOTH the r2 and r3 driver gates in identical
+    # form and untouched since; still checked every round by the
+    # local DuckDB gate (tools/compare_oracle.py)
+    "tile_assign": (q_tile_assign, q_tile_assign_sql),
+    "cell_rollup": (q_cell_rollup, q_cell_rollup_sql),
+    "hex_assign": (q_hex_assign, q_hex_assign_sql),
+    "knn_nearest_site": (q_knn_nearest_site, q_knn_nearest_site_sql),
+    "radius_count": (q_radius_count, q_radius_count_sql),
+    "radius_count_m": (q_radius_count_m, q_radius_count_m_sql),
+    "text_stats": (q_text_stats, q_text_stats_sql),
+    "dedup_exact": (q_dedup_exact, q_dedup_exact_sql),
+    "doc_fingerprint": (q_doc_fingerprint, q_doc_fingerprint_sql),
+    "blob_meta": (q_blob_meta, q_blob_meta_sql),
+    "extract_text": (q_extract_text, q_extract_text_sql),
     "vector_maths": (q_vector_maths, q_vector_maths_sql),
     "subset_by_attribute": (q_subset_by_attribute, q_subset_by_attribute_sql),
     "drop_by_attribute": (q_drop_by_attribute, q_drop_by_attribute_sql),
     "range_lut": (q_range_lut, q_range_lut_sql),
-    "rm_duplicates": (q_rm_duplicates, q_rm_duplicates_sql),
     "merge_tables": (q_merge_tables, q_merge_tables_sql),
-    "count_per_value": (q_count_per_value, q_count_per_value_sql),
     "sample": (q_sample, q_sample_sql),
     "topk_sort": (q_topk_sort, q_topk_sort_sql),
     "create_name_col": (q_create_name_col, q_create_name_col_sql),
     "rollup_agg": (q_rollup_agg, q_rollup_agg_sql),
-    "grid_histogram": (q_grid_histogram, q_grid_histogram_sql),
-    "band_percentile": (q_band_percentile, q_band_percentile_sql),
     "bbox_select": (q_bbox_select, q_bbox_select_sql),
-    "mosaic": (q_mosaic, q_mosaic_sql),
 }
 
 
