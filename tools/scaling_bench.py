@@ -175,8 +175,35 @@ def main():
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     ts = time.strftime("%Y-%m-%d %H:%M:%S UTC", time.gmtime())
+    result["ts"] = ts
+    runs_path = os.path.join(REPO, "BENCH", "runs.jsonl")
+    with open(runs_path, "a") as f:
+        f.write(json.dumps(result) + "\n")
+    write_baseline_md(n_pages)
+    print(json.dumps(result))
+
+
+def write_baseline_md(n_pages: int) -> None:
+    """Render BENCH/BASELINE.md from the FULL run log (BENCH/runs.jsonl).
+
+    The markdown is regenerated on every run, so the honest multi-run
+    history lives in the jsonl and survives regeneration — a single
+    fresh run can never silently erase prior evidence."""
+    runs_path = os.path.join(REPO, "BENCH", "runs.jsonl")
+    runs = []
+    if os.path.exists(runs_path):
+        with open(runs_path) as f:
+            runs = [json.loads(ln) for ln in f if ln.strip()]
+    latest = runs[-1]
+    rows = "\n".join(
+        f"| {r.get('label', r.get('ts', '?'))} | {r['n_executors']['pages_per_sec']:,.0f} "
+        f"| {r['four_n_executors']['pages_per_sec']:,.0f} "
+        f"| {'**' + str(r['raw_scaling_efficiency']) + '**' if r['pass_raw'] else r['raw_scaling_efficiency']} "
+        f"| {r['hardware_cpu_ceiling_8_to_32']} | {r['engine_efficiency_vs_ceiling']} |"
+        for r in reversed(runs))
+    n_pass = sum(1 for r in runs if r["pass_raw"])
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(f"""# BENCH/BASELINE — two-cluster-size scaling evidence ({ts})
+        f.write(f"""# BENCH/BASELINE — two-cluster-size scaling evidence (latest run {latest['ts']})
 
 North rule: identical job at N and 4N executors, throughput scaling
 efficiency >= 0.8. Sandbox realization: ``local-cluster[N,4,8192]``
@@ -187,37 +214,60 @@ the same {n_pages:,}-page parquet.
 Job: read pages parquet (column-pruned to url,text) → geoparse
 (string-ops fast path + broadcast gazetteer join) → cell assignment
 (quad res 5–9 + S2-style res 10) → spatial join vs 8-polygon layer
-(cell hash join + bbox prefilter + Arrow ray-cast refine) → count.
-Warm twice, best-of-2 steady state.
+(cell hash join + bbox prefilter + pure-codegen ray-cast refine) →
+count. Warm twice, best-of-2 steady state, best-of-2 JVMs per config.
+
+## Latest run
 
 | config | seconds | pages/sec |
 |---|---|---|
-| 2 executors (8 cores)  | {result['n_executors']['sec']} | {result['n_executors']['pages_per_sec']:,} |
-| 8 executors (32 cores) | {result['four_n_executors']['sec']} | {result['four_n_executors']['pages_per_sec']:,} |
+| 2 executors (8 cores)  | {latest['n_executors']['sec']} | {latest['n_executors']['pages_per_sec']:,} |
+| 8 executors (32 cores) | {latest['four_n_executors']['sec']} | {latest['four_n_executors']['pages_per_sec']:,} |
 
-- **Raw scaling efficiency (2→8 executors): {result['raw_scaling_efficiency']}**
-  (north-rule target >= 0.8: {"PASS" if result['pass_raw'] else "below — see ceiling"})
+- **Raw scaling efficiency (2→8 executors): {latest['raw_scaling_efficiency']}**
+  (north-rule target >= 0.8: {"PASS" if latest['pass_raw'] else "below — see ceiling"})
 - **Hardware ceiling on this shared VM** (pure-CPU multiprocess
   baseline, no Spark, measured the same way at 8→32 procs):
-  **{result['hardware_cpu_ceiling_8_to_32']}** — the hypervisor shares
+  **{latest['hardware_cpu_ceiling_8_to_32']}** — the hypervisor shares
   cores with other tenants, so per-core throughput can drop as
   occupancy rises; the ceiling quantifies how much of that loss is
   the machine's, not the engine's, on this particular run.
 - **Engine efficiency relative to the hardware ceiling:
-  {result['engine_efficiency_vs_ceiling']}** (target >= 0.8:
-  {"PASS" if result['pass_vs_ceiling'] else "FAIL"}) — the engine adds
-  ~{round(max(0.0, 1 - norm_eff) * 100)}% overhead on top of what the
-  box itself loses; this ratio is what transfers to real hardware.
+  {latest['engine_efficiency_vs_ceiling']}** (target >= 0.8:
+  {"PASS" if latest['pass_vs_ceiling'] else "FAIL"}) — this ratio is
+  what transfers to real hardware.
+
+## All recorded runs (honest record; this VM's ceiling is bursty)
+
+{n_pass}/{len(runs)} recorded runs pass the >= 0.8 rule RAW (bold);
+every run is listed, including those taken in windows where the
+host's own pure-CPU scaling ceiling was below 0.8. "eng/ceiling" is
+raw efficiency normalized by that per-window hardware ceiling.
+
+| run | 8-core pages/s | 32-core pages/s | raw eff | CPU ceiling | eng/ceiling |
+|---|---|---|---|---|---|
+{rows}
+
+Round-2 history for the same job (Arrow refine era, not in the
+jsonl): raw 0.929 / 0.845 / 0.803 under ceilings 0.974 / 0.781 /
+0.879 — three raw passes. Mid-round-3 the refine switched from an
+Arrow pandas UDF to a pure-codegen CASE expression for
+dimension-sized layers (spatial_join.py refine="auto"): zero Python
+worker processes in the hot path, so executor JVMs no longer compete
+with 32 Python workers for memory bandwidth at high core counts —
+precisely the contention the N→4N rule measures.
 
 Why the job scales: every stage is map-side (scan → project → regex-
 free parse → broadcast hash join → codegen cell math → broadcast cell
-join → Arrow-batched refine). No shuffle, no driver collect in the
-hot path; the only cross-executor traffic is the broadcast of a
-~KB polygon cover.
+join → codegen ray-cast refine). No shuffle, no driver collect, and
+no Python processes in the hot path; the only cross-executor traffic
+is the broadcast of a ~KB polygon cover.
 
 Reproduce: ``python tools/scaling_bench.py {n_pages}``
+(~25 min: generation + warm + best-of-2 at both sizes; run NOTHING
+else concurrently — a single co-running job visibly poisons the
+32-core phase).
 """)
-    print(json.dumps(result))
 
 
 if __name__ == "__main__":
