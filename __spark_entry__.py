@@ -1735,6 +1735,17 @@ SELECT a, b, ROUND(score, 6) AS score FROM scored WHERE score >= 0.4
 """
 
 
+# Shared LSH config for the gated scale-path query and its oracle.
+# 8-bit band hashes (256 bucket values per band): with 4-bit bands the
+# bucket space was only 16 values, so ~25% of ALL pairs survived as
+# candidates (472k candidate pairs from 2000 vectors at sf0.1 — the
+# bucketing did no work). 256 values per band cuts random-pair
+# collisions to ~1/256 per band while keeping ~0.9 recall at
+# cosine >= 0.95 (the near-dup regime).
+LSH_BITS = 32
+LSH_BANDS = 4
+
+
 def q_cosine_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via random-hyperplane LSH — the SCALE path
     (banded signature buckets -> candidate equi-join -> exact-cosine
@@ -1747,7 +1758,8 @@ def q_cosine_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.lsh_neardup_pairs(
-        emb, threshold=0.4, n_bits=16, bands=4, dim=64, seed=42)
+        emb, threshold=0.4, n_bits=LSH_BITS, bands=LSH_BANDS, dim=64,
+        seed=42)
 
 
 def q_cosine_lsh_neardup_sql() -> str:
@@ -1760,9 +1772,11 @@ def q_cosine_lsh_neardup_sql() -> str:
     embedding queries."""
     from rsgislib_spark.operators import similarity
 
-    planes = similarity.hyperplanes(n_bits=16, dim=64, seed=42)
+    planes = similarity.hyperplanes(n_bits=LSH_BITS, dim=64, seed=42)
+    rows_per_band = LSH_BITS // LSH_BANDS
+    mask = (1 << rows_per_band) - 1
     bit_terms = []
-    for i in range(16):
+    for i in range(LSH_BITS):
         dot = " + ".join(
             f"CAST(embedding[{j + 1}] AS DOUBLE)*({planes[i][j]!r})"
             for j in range(64))
@@ -1773,8 +1787,9 @@ def q_cosine_lsh_neardup_sql() -> str:
 WITH sig AS (
   SELECT vec_id, {sig} AS sig FROM embeddings),
 bk AS (
-  SELECT vec_id, bi.bi AS band, (sig >> (bi.bi * 4)) & 15 AS bh
-  FROM sig, generate_series(0, 3) bi(bi)),
+  SELECT vec_id, bi.bi AS band,
+         (sig >> (bi.bi * {rows_per_band})) & {mask} AS bh
+  FROM sig, generate_series(0, {LSH_BANDS - 1}) bi(bi)),
 cand AS (
   SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
   FROM bk l JOIN bk r ON l.band = r.band AND l.bh = r.bh

@@ -7,50 +7,170 @@ coarse quantization: assign vectors to the nearest of k centroids and
 probe only matching (or adjacent) cells — the standard
 inverted-file ANN layout re-expressed as a Spark equi-join.
 
-All dot products run JVM-side via F.aggregate/zip_with on DOUBLE
-(cast from float once) — no UDF in the scoring loop.
+Dot products run in two tiers, mirroring spatial_join's refine
+dispatch (codegen CASE vs Arrow UDF):
+
+1. Column-vs-column and SMALL fixed-matrix dots are UNROLLED
+   fixed-dim arithmetic (``v[0]*c0 + v[1]*c1 + ...``) — pure
+   whole-stage codegen, no Python. Spark evaluates higher-order
+   functions (aggregate/zip_with/transform) INTERPRETED — excluded
+   from codegen — which measured ~100x slower per row on 64-dim
+   vectors, so HOFs are not used in any scoring loop.
+2. LARGE fixed-matrix dots (hyperplane signatures, IVF quantization
+   against k centroids) go through ONE Arrow pandas UDF per row
+   batch (``_fold_dots_udf``): a single unrolled scalar expression
+   of k*dim terms parses left-associative into a tree ~k*dim deep,
+   and Janino's compile time is superlinear in that depth — at
+   32 planes x 64 dims (2048 terms) the generated stage took ~11 s
+   to (fail to) compile and fell back to interpreted eval on every
+   action. The cutoff is ``_CODEGEN_MAX_TERMS``.
+
+Both tiers seed the sum with 0.0 and fold in element order, so the
+IEEE result is bit-identical across tiers and to the
+left-associative SUM the gated DuckDB oracles evaluate.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
+# Above this many total terms (k rows x dim) a single unrolled scalar
+# expression stops compiling acceptably (Janino superlinear in nesting
+# depth; 64 KB method limit) -> switch to the Arrow batch fold. Mirrors
+# spatial_join.codegen_max_edges = 512.
+_CODEGEN_MAX_TERMS = 512
 
-def _dot(a, b) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+# Above this many total terms the per-dimension ordered fold inside the
+# UDF (k*dim separate vectorized ops per batch) costs more memory
+# traffic than one BLAS matmul; switch to matmul. Summation order is
+# then pairwise/SIMD, NOT the left fold — sign/argmax decisions stop
+# being bit-guaranteed against a left-fold oracle (in practice margins
+# exceed the rounding noise by ~1e15). Gate fixtures size k*dim well
+# under this cutoff, so every driver-gated query stays on the exact
+# fold.
+_FOLD_MAX_TERMS = 16384
 
 
-def _norm(a) -> Column:
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+def _flit(c: float) -> str:
+    """Exact DOUBLE literal: repr(float) is the shortest string that
+    round-trips, and Java's Double.parseDouble is correctly rounded,
+    so the parsed value is bit-identical on both engines."""
+    return repr(float(c)) + "D"
+
+
+def _elem(name: str, i: int) -> str:
+    return f"CAST(`{name}`[{i}] AS DOUBLE)"
+
+
+def dot_cols(a: str, b: str, dim: int) -> Column:
+    """Unrolled left-fold dot of two fixed-dim array columns
+    (elements cast float→double before multiply). Built as ONE SQL
+    string → one F.expr / py4j call: constructing the same tree from
+    nested Column operators costs ~4 py4j round-trips per term
+    (~seconds of driver time at dim 64 x 16 planes). SQL ``+`` parses
+    left-associative, so the IEEE result is bit-identical to the
+    F.aggregate(zip_with(...), 0.0, +) fold and to the
+    left-associative SUM the gated DuckDB oracles evaluate."""
+    return F.expr("0.0D + " + " + ".join(
+        f"{_elem(a, i)} * {_elem(b, i)}" for i in range(dim)))
+
+
+def dot_lits(a: str, coeffs) -> Column:
+    """Unrolled left-fold dot of an array column with driver-side
+    float coefficients (a hyperplane / centroid row) embedded as
+    exact literals. Pure codegen; same fold order as dot_cols."""
+    return F.expr("0.0D + " + " + ".join(
+        f"{_elem(a, i)} * {_flit(c)}" for i, c in enumerate(coeffs)))
+
+
+def norm_col(a: str, dim: int) -> Column:
+    """Unrolled L2 norm (same element order / 0.0 seed as the fold)."""
+    return F.sqrt(F.expr("0.0D + " + " + ".join(
+        f"{_elem(a, i)} * {_elem(a, i)}" for i in range(dim))))
+
+
+def _fold_dots_udf(mat, dim: int):
+    """Arrow pandas UDF: per input vector, the dot with EVERY row of
+    ``mat`` (a k x dim driver-side float matrix — hyperplanes or IVF
+    centroids, a few KB shipped in the serialized closure), returned
+    as one array<double>.
+
+    The accumulation is vectorized ACROSS the row batch but
+    sequential ACROSS dimensions (``acc = (((0.0 + e0*c0) + e1*c1) +
+    ...)``), so each output double is bit-identical to the unrolled
+    codegen tier and to the left-associative SQL the gated DuckDB
+    oracles evaluate — dot_lits' exactness contract at Arrow batch
+    speed. Past _FOLD_MAX_TERMS total terms it switches to one BLAS
+    matmul per batch (same flops, ~10x less memory traffic, pairwise
+    summation — see the module docstring for the exactness caveat).
+
+    Callers must materialize the result with ``withColumn`` BEFORE
+    referencing elements: the ArrowEvalPython node then acts as a
+    projection barrier, so k downstream element references read the
+    computed array instead of re-running the UDF k times.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    M = np.ascontiguousarray(np.asarray(mat, dtype=np.float64))
+    k = len(M)
+    exact = k * dim <= _FOLD_MAX_TERMS
+
+    @pandas_udf("array<double>")
+    def _dots(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        E = np.vstack(v.to_numpy()).astype(np.float64)
+        if exact:
+            out = np.empty((len(E), k))
+            for i in range(k):
+                acc = np.zeros(len(E))
+                row = M[i]
+                for j in range(dim):
+                    acc = acc + E[:, j] * row[j]
+                out[:, i] = acc
+        else:
+            out = E @ M.T
+        return pd.Series(list(out))
+
+    return _dots
 
 
 def with_unit_vec(df: DataFrame, vec_col: str = "embedding",
-                  out_col: str = "unit") -> DataFrame:
+                  out_col: str = "unit", dim: int = 64) -> DataFrame:
     """L2-normalize once (double precision) so cosine == dot."""
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    return df.withColumn(out_col, F.transform(v, lambda x: x / _norm(v)))
+    tagged = df.withColumn("__n", norm_col(vec_col, dim))
+    return tagged.withColumn(out_col, F.expr(
+        "array(" + ", ".join(f"{_elem(vec_col, i)} / __n"
+                             for i in range(dim)) + ")")).drop("__n")
 
 
 def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
                 q_id: str = "vec_id", c_id: str = "vec_id",
-                vec_col: str = "embedding") -> DataFrame:
+                vec_col: str = "embedding", dim: int = 64) -> DataFrame:
     """Exact brute-force top-k: broadcast the (smaller) query side,
     score every corpus vector, rank per query. Output (q, c, score,
-    rank). Self-matches (same id) excluded."""
+    rank). Self-matches (same id) excluded.
+
+    Norms are computed once per vector BEFORE the cross join (same
+    IEEE value — the per-vector sum is the identical expression), so
+    the O(|q|*|c|) stage does only the dot."""
     from pyspark.sql import Window
 
-    q = queries.select(F.col(q_id).alias("q"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(c_id).alias("c"), F.col(vec_col).alias("cv"))
-    qd = F.transform("qv", lambda x: x.cast("double"))
-    cd = F.transform("cv", lambda x: x.cast("double"))
+    q = queries.select(F.col(q_id).alias("q"), F.col(vec_col).alias("qv"),
+                       norm_col(vec_col, dim).alias("qn"))
+    c = corpus.select(F.col(c_id).alias("c"), F.col(vec_col).alias("cv"),
+                      norm_col(vec_col, dim).alias("cn"))
+    # spread the streamed corpus across the cluster: a small parquet
+    # arrives as ONE split, which would run the O(|q|*|c|) scoring
+    # stage on a single core
+    c = c.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     scored = (
         F.broadcast(q).crossJoin(c)
         .where(F.col("q") != F.col("c"))
-        .withColumn("score", _dot(qd, cd) / (_norm(qd) * _norm(cd)))
+        .withColumn("score",
+                    dot_cols("qv", "cv", dim) / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("q").orderBy(F.desc("score"), F.asc("c"))
     return (
@@ -62,21 +182,24 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
 
 def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
                          id_col: str = "vec_id",
-                         vec_col: str = "embedding") -> DataFrame:
+                         vec_col: str = "embedding",
+                         dim: int = 64) -> DataFrame:
     """All pairs (a < b) with cosine >= threshold — embedding near-dup
     detection (brute force; LSH variant below for scale).
 
     Norms are computed ONCE PER VECTOR before the pair join (same
     IEEE value as a per-pair norm — the per-vector sum is the same
     expression either way), so the O(n^2) stage does only the dot."""
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = df.select(F.col(id_col).alias("_id"), v.alias("_v"),
-                     _norm(v).alias("_n"))
-    a = base.selectExpr("_id AS a", "_v AS av", "_n AS na")
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+                     norm_col(vec_col, dim).alias("_n"))
+    # spread the streamed side: a small parquet arrives as ONE split,
+    # which would run the O(n^2) pair stage on a single core
+    a = base.selectExpr("_id AS a", "_v AS av", "_n AS na").repartition(
+        df.sparkSession.sparkContext.defaultParallelism)
     b = base.selectExpr("_id AS b", "_v AS bv", "_n AS nb")
     return (
-        a.crossJoin(b).where(F.col("a") < F.col("b"))
-        .withColumn("score", _dot(F.col("av"), F.col("bv"))
+        a.crossJoin(F.broadcast(b)).where(F.col("a") < F.col("b"))
+        .withColumn("score", dot_cols("av", "bv", dim)
                     / (F.col("na") * F.col("nb")))
         .where(F.col("score") >= threshold)
         .select("a", "b", F.round("score", 6).alias("score"))
@@ -89,7 +212,6 @@ def hyperplanes(n_bits: int = 16, dim: int = 64, seed: int = 42):
     planes as SQL literals — repr(float) round-trips exactly, and the
     sign decision is then bit-identical across engines when the dot is
     evaluated in the same left-fold order."""
-    import numpy as np
 
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_bits, dim))
@@ -102,13 +224,18 @@ def hyperplane_signature(df: DataFrame, n_bits: int = 16, dim: int = 64,
     Hyperplanes are a deterministic seeded gaussian (driver numpy,
     broadcast as literals — a few KB)."""
     planes = hyperplanes(n_bits, dim, seed)
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    bits = None
-    for i in range(n_bits):
-        r = F.array(*[F.lit(float(c)) for c in planes[i]])
-        bit = F.when(_dot(v, r) >= 0.0, F.lit(1 << i)).otherwise(F.lit(0))
-        bits = bit if bits is None else bits + bit
-    return df.select(F.col(id_col).alias("vec_id"), bits.alias("sig"))
+    if n_bits * dim <= _CODEGEN_MAX_TERMS:
+        bits = None
+        for i in range(n_bits):
+            bit = F.when(dot_lits(vec_col, planes[i]) >= 0.0,
+                         F.lit(1 << i)).otherwise(F.lit(0))
+            bits = bit if bits is None else bits + bit
+        return df.select(F.col(id_col).alias("vec_id"),
+                         bits.cast("long").alias("sig"))
+    tagged = df.withColumn("_hp", _fold_dots_udf(planes, dim)(F.col(vec_col)))
+    pack = F.expr(" + ".join(
+        f"IF(`_hp`[{i}] >= 0.0D, {1 << i}L, 0L)" for i in range(n_bits)))
+    return tagged.select(F.col(id_col).alias("vec_id"), pack.alias("sig"))
 
 
 def lsh_neardup_pairs(df: DataFrame, threshold: float = 0.95,
@@ -131,22 +258,21 @@ def lsh_neardup_pairs(df: DataFrame, threshold: float = 0.95,
     l = buckets.select(F.col("vec_id").alias("a"), "bk")
     r = buckets.select(F.col("vec_id").alias("b"), "bk")
     cand = l.join(r, "bk").where(F.col("a") < F.col("b")).select("a", "b").distinct()
-    vecs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    vecs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+                     norm_col(vec_col, dim).alias("_n"))
     out = (
-        cand.join(vecs.selectExpr("_id AS a", "_v AS av"), "a")
-        .join(vecs.selectExpr("_id AS b", "_v AS bv"), "b")
+        cand.join(vecs.selectExpr("_id AS a", "_v AS av", "_n AS na"), "a")
+        .join(vecs.selectExpr("_id AS b", "_v AS bv", "_n AS nb"), "b")
     )
-    ad = F.transform("av", lambda x: x.cast("double"))
-    bd = F.transform("bv", lambda x: x.cast("double"))
     return (
-        out.withColumn("score", _dot(ad, bd) / (_norm(ad) * _norm(bd)))
+        out.withColumn("score", dot_cols("av", "bv", dim)
+                       / (F.col("na") * F.col("nb")))
         .where(F.col("score") >= threshold)
         .select("a", "b", F.round("score", 6).alias("score"))
     )
 
 
 def _seed_centroids(n_centroids: int, dim: int, seed: int):
-    import numpy as np
 
     rng = np.random.default_rng(seed)
     cents = rng.standard_normal((n_centroids, dim))
@@ -163,7 +289,6 @@ def ivf_train_centroids(corpus: DataFrame, n_centroids: int | None = None,
     (distributed; only the k x dim means reach the driver), then
     renormalize. Empty cells keep their previous centroid.
     n_centroids=None: sqrt(|corpus|) via auto_n_centroids."""
-    import numpy as np
 
     if n_centroids is None:
         n_centroids = auto_n_centroids(corpus.count())
@@ -208,20 +333,23 @@ def ivf_assign(df: DataFrame, n_centroids: int = 16, dim: int = 64,
     centroids: (n, dim) array — pass ivf_train_centroids output for
     k-means-refined cells; None = deterministic seeded random (keeps
     the gate fixture reproducible)."""
-    import numpy as np
 
     cents = (np.asarray(centroids, dtype=np.float64) if centroids is not None
              else _seed_centroids(n_centroids, dim, seed))
     n_centroids = len(cents)
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    # argmax via an array of scores — a when/otherwise chain would
-    # duplicate the running best per level (exponential plan tree)
-    scores = F.array(*[
-        _dot(v, F.array(*[F.lit(float(x)) for x in cents[i]]))
-        for i in range(n_centroids)
-    ])
-    best = F.array_position(scores, F.array_max(scores)) - 1  # first max wins
-    return df.withColumn("ivf_cell", best.cast("int"))
+    if n_centroids * dim <= _CODEGEN_MAX_TERMS:
+        # argmax via an array of scores — a when/otherwise chain would
+        # duplicate the running best per level (exponential plan tree)
+        scores = F.array(*[
+            dot_lits(vec_col, cents[i]) for i in range(n_centroids)
+        ])
+        best = F.array_position(scores, F.array_max(scores)) - 1
+        return df.withColumn("ivf_cell", best.cast("int"))  # first max wins
+    tagged = df.withColumn("_ivf_d",
+                           _fold_dots_udf(cents, dim)(F.col(vec_col)))
+    best = F.array_position(F.col("_ivf_d"),
+                            F.array_max(F.col("_ivf_d"))) - 1
+    return tagged.withColumn("ivf_cell", best.cast("int")).drop("_ivf_d")
 
 
 def ivf_probe_cells(df: DataFrame, n_probe: int, n_centroids: int = 16,
@@ -229,21 +357,30 @@ def ivf_probe_cells(df: DataFrame, n_probe: int, n_centroids: int = 16,
                     seed: int = 7, centroids=None) -> DataFrame:
     """Top-``n_probe`` nearest centroids per vector (multi-probe IVF —
     the standard recall lever). Adds exploded ``ivf_cell``."""
-    import numpy as np
 
     cents = (np.asarray(centroids, dtype=np.float64) if centroids is not None
              else _seed_centroids(n_centroids, dim, seed))
     n_centroids = len(cents)
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    scored = F.array(*[
-        F.struct(
-            (-_dot(v, F.array(*[F.lit(float(x)) for x in cents[i]]))).alias("neg"),
-            F.lit(i).alias("cell"))
-        for i in range(n_centroids)
-    ])
-    top = F.slice(F.array_sort(scored), 1, n_probe)
-    return df.withColumn(
+    if n_centroids * dim <= _CODEGEN_MAX_TERMS:
+        scored = F.array(*[
+            F.struct((-dot_lits(vec_col, cents[i])).alias("neg"),
+                     F.lit(i).alias("cell"))
+            for i in range(n_centroids)
+        ])
+        top = F.slice(F.array_sort(scored), 1, n_probe)
+        return df.withColumn(
+            "ivf_cell", F.explode(F.transform(top, lambda s: s["cell"])))
+    tagged = df.withColumn("_ivf_d",
+                           _fold_dots_udf(cents, dim)(F.col(vec_col)))
+    # same (neg-dot, cell) lexicographic sort as the codegen tier, so
+    # tie-breaks match bit-for-bit when the dots do
+    top = F.expr(
+        f"slice(array_sort(transform(sequence(0, {n_centroids - 1}), "
+        f"i -> struct(-`_ivf_d`[i] AS neg, CAST(i AS INT) AS cell))), "
+        f"1, {n_probe})")
+    return (tagged.withColumn(
         "ivf_cell", F.explode(F.transform(top, lambda s: s["cell"])))
+        .drop("_ivf_d"))
 
 
 def auto_n_centroids(n_vectors: int, lo: int = 16, hi: int = 65536) -> int:
@@ -282,16 +419,17 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
         n_centroids = auto_n_centroids(corpus.count())
     q = ivf_probe_cells(queries, n_probe, n_centroids, dim, vec_col,
                         centroids=centroids).select(
-        F.col(q_id).alias("q"), F.col(vec_col).alias("qv"), "ivf_cell")
+        F.col(q_id).alias("q"), F.col(vec_col).alias("qv"), "ivf_cell",
+        norm_col(vec_col, dim).alias("qn"))
     c = ivf_assign(corpus, n_centroids, dim, c_id, vec_col,
                    centroids=centroids).select(
-        F.col(c_id).alias("c"), F.col(vec_col).alias("cv"), "ivf_cell")
-    qd = F.transform("qv", lambda x: x.cast("double"))
-    cd = F.transform("cv", lambda x: x.cast("double"))
+        F.col(c_id).alias("c"), F.col(vec_col).alias("cv"), "ivf_cell",
+        norm_col(vec_col, dim).alias("cn"))
     scored = (
         q.join(c, "ivf_cell")
         .where(F.col("q") != F.col("c"))
-        .withColumn("score", _dot(qd, cd) / (_norm(qd) * _norm(cd)))
+        .withColumn("score",
+                    dot_cols("qv", "cv", dim) / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("q").orderBy(F.desc("score"), F.asc("c"))
     return (

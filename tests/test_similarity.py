@@ -150,3 +150,48 @@ def test_ivf_training_driver_pull_is_packed(spark, emb, monkeypatch):
     monkeypatch.setattr(DataFrame, "collect", orig)
     assert pulls, "training ran no aggregation"
     assert max(pulls) <= 16, f"driver pull exceeded n_centroids: {pulls}"
+
+
+def test_fold_udf_tier_bit_identical_to_codegen_tier(spark, emb, monkeypatch):
+    """The Arrow ordered-fold tier must produce bit-identical
+    signatures to the unrolled codegen tier: both fold 0.0 + e0*c0 +
+    e1*c1 + ... in element order, so every sign decision matches."""
+    want = {r.vec_id: r.sig for r in similarity.hyperplane_signature(
+        emb, n_bits=8, dim=64, seed=3).collect()}
+    monkeypatch.setattr(similarity, "_CODEGEN_MAX_TERMS", 0)
+    got = {r.vec_id: r.sig for r in similarity.hyperplane_signature(
+        emb, n_bits=8, dim=64, seed=3).collect()}
+    assert got == want
+
+
+def test_ivf_tiers_match(spark, emb, monkeypatch):
+    """Quantizer argmax and multi-probe cells agree across tiers
+    (same dots bit-for-bit -> same ties -> same cells)."""
+    want = sorted((r.vec_id, r.ivf_cell) for r in
+                  similarity.ivf_assign(emb, 8, 64).collect())
+    probe_want = sorted((r.vec_id, r.ivf_cell) for r in
+                        similarity.ivf_probe_cells(emb, 3, 8, 64).collect())
+    monkeypatch.setattr(similarity, "_CODEGEN_MAX_TERMS", 0)
+    got = sorted((r.vec_id, r.ivf_cell) for r in
+                 similarity.ivf_assign(emb, 8, 64).collect())
+    probe_got = sorted((r.vec_id, r.ivf_cell) for r in
+                       similarity.ivf_probe_cells(emb, 3, 8, 64).collect())
+    assert got == want
+    assert probe_got == probe_want
+
+
+def test_sig_udf_tier_runs_arrow_exactly_once(spark, emb):
+    """Above the codegen term budget the plan holds ONE
+    ArrowEvalPython node: the bit-packing projection reads the
+    materialized dots array instead of re-running the UDF per bit."""
+    sig = similarity.hyperplane_signature(emb, n_bits=32, dim=64, seed=42)
+    plan = sig._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
+
+
+def test_sig_codegen_tier_has_no_python(spark, emb):
+    """At or under the budget the signature is pure codegen."""
+    sig = similarity.hyperplane_signature(emb, n_bits=8, dim=64, seed=42)
+    plan = sig._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan

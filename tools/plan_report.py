@@ -74,6 +74,23 @@ CHECKS = {
         forbid=["LocalTableScan", "CartesianProduct",
                 "BroadcastNestedLoopJoin"],
     ),
+    "lsh near-dup pairs (banded buckets → candidate equi-join → exact rescore)": dict(
+        # signature dots above _CODEGEN_MAX_TERMS run in ONE Arrow
+        # batch fold (the r4 fix: a 2048-term unrolled expression hit
+        # Janino's compile cliff and fell back to interpreted eval);
+        # candidates come from an equi-join on band buckets, never an
+        # all-pairs product
+        expect=["ArrowEvalPython"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
+                "BatchEvalPython"],
+    ),
+    "ivf top-k (quantize → probe-cell equi-join)": dict(
+        # corpus joins queries on ivf_cell (the inverted-file layout);
+        # quantization against 64 centroids is the Arrow fold tier
+        expect=["ArrowEvalPython"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
+                "BatchEvalPython"],
+    ),
     "parquet filter pushdown (pt_id = 42)": dict(
         expect=["PushedFilters: [IsNotNull(pt_id), EqualTo(pt_id,42)]"],
         forbid=[],
@@ -177,6 +194,20 @@ def main():
         return sj.spatial_join_df(derived.points_df(spark, sf), polys,
                                   pt_id_col="pt_id")
 
+    def lsh_pairs():
+        from rsgislib_spark.operators import similarity
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        return similarity.lsh_neardup_pairs(emb, threshold=0.4, n_bits=32,
+                                            bands=4, dim=64, seed=42)
+
+    def ivf():
+        from rsgislib_spark.operators import similarity
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        return similarity.ivf_topk(emb.limit(16), emb, k=5,
+                                   n_centroids=64, dim=64)
+
     def pushdown():
         p = "/tmp/plan_pts.parquet"
         derived.points_df(spark, sf).write.mode("overwrite").parquet(p)
@@ -196,6 +227,7 @@ def main():
                             minhash, unq_ids,
                             sj_left_pages, overlay_pairs, clump_edges,
                             knn_pages, sj_df_big,
+                            lsh_pairs, ivf,
                             pushdown, partition_prune]))
 
     out = ["# PLANS — physical-plan evidence (generated by tools/plan_report.py)",
