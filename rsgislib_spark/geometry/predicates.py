@@ -61,21 +61,71 @@ def point_in_rings(px: np.ndarray, py: np.ndarray, rings: list) -> np.ndarray:
 
 def raycast_sql(x: str, y: str, rings: list) -> str:
     """DuckDB/Spark-SQL boolean expression: point ({x},{y}) inside the
-    literal polygon ``rings`` under the identical crossing formula."""
+    literal polygon ``rings`` under the identical crossing formula.
+
+    Emits value-exact simplifications of the canonical per-edge term —
+    essential for the codegen refine path, where expression size is a
+    real performance cliff (HotSpot refuses to JIT methods past
+    ~8 KB bytecode, so a bloated join condition runs INTERPRETED):
+
+    - horizontal edges (y1 == y2): ``(y1 > y) <> (y2 > y)`` is
+      identically false — the edge contributes 0 crossings; omitted.
+    - vertical edges (x1 == x2): the intercept
+      ``0.0*(y-y1)/(y2-y1) + x1`` IEEE-evaluates to exactly ``x1``
+      for every finite y (±0.0 + x1 == x1 up to the sign of zero,
+      which ``<`` cannot observe; non-finite y fails the crossing
+      test first under short-circuit AND) — emitted as ``x < x1``.
+    - dx, dy are folded in Python (the same IEEE subtraction both
+      engines would constant-fold).
+
+    All three leave every crossing decision bit-identical to
+    ``point_in_rings`` and to the long form, so oracles generated
+    from this function stay exact across engines.
+    """
     terms = []
     for ring in rings:
         ring = np.asarray(ring, dtype=np.float64)
-        for (x1, y1), (x2, y2) in zip(ring[:-1].tolist(), ring[1:].tolist()):
+        edges = [(x1, y1, x2, y2) for (x1, y1), (x2, y2)
+                 in zip(ring[:-1].tolist(), ring[1:].tolist())
+                 if y1 != y2]  # horizontal edges never cross the ray
+        # axis-aligned rectangle ring: exactly two vertical edges over
+        # the same (unordered) y-span. Their crossing terms are both
+        # gated by lat ∈ [ymin, ymax) and differ only in ``x < xi``,
+        # so the pair sums to 1 (odd) iff xlo <= x < xhi — ONE range
+        # term replaces two crossing terms, value-exact (pure literal
+        # comparisons, no arithmetic). Holes compose through parity
+        # as before.
+        if (len(edges) == 2
+                and edges[0][0] == edges[0][2] and edges[1][0] == edges[1][2]
+                and {edges[0][1], edges[0][3]} == {edges[1][1], edges[1][3]}):
+            ylo, yhi = sorted((edges[0][1], edges[0][3]))
+            xlo, xhi = sorted((edges[0][0], edges[1][0]))
+            terms.append(
+                f"(CASE WHEN ({y} >= CAST({ylo!r} AS DOUBLE)"
+                f" AND {y} < CAST({yhi!r} AS DOUBLE)"
+                f" AND {x} >= CAST({xlo!r} AS DOUBLE)"
+                f" AND {x} < CAST({xhi!r} AS DOUBLE))"
+                f" THEN 1 ELSE 0 END)"
+            )
+            continue
+        for x1, y1, x2, y2 in edges:
             # literals CAST AS DOUBLE: DuckDB types bare decimals as
             # DECIMAL and would evaluate literal-literal subexpressions
             # in exact decimal arithmetic, diverging from Spark doubles
             cx1, cy1 = f"CAST({x1!r} AS DOUBLE)", f"CAST({y1!r} AS DOUBLE)"
-            cx2, cy2 = f"CAST({x2!r} AS DOUBLE)", f"CAST({y2!r} AS DOUBLE)"
+            cy2 = f"CAST({y2!r} AS DOUBLE)"
+            if x1 == x2:
+                xs = cx1
+            else:
+                dx, dy = x2 - x1, y2 - y1
+                xs = (f"CAST({dx!r} AS DOUBLE) * ({y} - {cy1})"
+                      f" / CAST({dy!r} AS DOUBLE) + {cx1}")
             terms.append(
                 f"(CASE WHEN (({cy1} > {y}) <> ({cy2} > {y}))"
-                f" AND ({x} < ({cx2} - {cx1}) * ({y} - {cy1})"
-                f" / ({cy2} - {cy1}) + {cx1}) THEN 1 ELSE 0 END)"
+                f" AND ({x} < {xs}) THEN 1 ELSE 0 END)"
             )
+    if not terms:  # degenerate all-horizontal ring set: nothing inside
+        return "(1 = 0)"
     return "((" + " + ".join(terms) + ") % 2 = 1)"
 
 
