@@ -63,9 +63,21 @@ def main() -> None:
     # steady-state timing: run each query once to warm (JIT, codegen
     # compile, python-worker spawn), time the second run — this VM has
     # bursty host CPU steal, and cold runs vary 2-10x
+    # Between queries, drop py4j proxies and nudge both GCs: iterative
+    # operators (kNN rings, clump, attr_knn) localCheckpoint/persist
+    # intermediates whose JVM blocks are only freed by ContextCleaner
+    # once the driver references die. Without this, blocks pile up
+    # across the 70-query sequence and late queries pay GC/storage
+    # pressure the early ones didn't (observed: a 0.4s tail query
+    # measuring 6s after 50 predecessors). The gc runs OUTSIDE the
+    # timed region.
+    import gc
+
     qtimes: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         qtimes[name] = round(time.time() - t0, 3)
