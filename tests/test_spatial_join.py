@@ -236,12 +236,27 @@ def test_spatial_join_df_salt_invariance(pts, polys_wkb_df):
 
 def test_poly_cover_df_matches_index_cover(spark, polys_wkb_df):
     """Distributed cover rows == the driver PolygonIndex cover rows
-    (same cells, bboxes, adaptive resolutions)."""
+    (same cells, bboxes, adaptive resolutions) at the same max_cells.
+    Defaults diverge on purpose: the distributed cover is a shuffled
+    table (max_cells=8 keeps it small), the broadcast index wants the
+    finer, more selective key (256)."""
     idx = sj.PolygonIndex.from_fixture(fixtures.POLYGONS, res=None)
     got = {(r.poly_id, r.cell, r.xmin, r.ymin, r.xmax, r.ymax)
-           for r in sj.poly_cover_df(polys_wkb_df).collect()}
+           for r in sj.poly_cover_df(polys_wkb_df, max_cells=256).collect()}
     want = set(idx.cover_rows())
     assert got == want
+
+
+def test_poly_cover_df_default_is_small(spark, polys_wkb_df):
+    """The distributed-path default (max_cells=8) emits a cover an
+    order of magnitude smaller than the broadcast-index default while
+    spatial_join_df stays exact (refine removes the bbox overhang)."""
+    small = sj.poly_cover_df(polys_wkb_df).count()
+    big = sj.poly_cover_df(polys_wkb_df, max_cells=256).count()
+    # continent-sized fixtures clamp at the coarsest res, so "<= 8
+    # cells" is an estimate target, not a guarantee — the invariant
+    # is the order-of-magnitude shrink of the shuffled cover
+    assert small <= big / 3
 
 
 def test_spatial_join_df_plan_no_driver_collect(pts, polys_wkb_df):
