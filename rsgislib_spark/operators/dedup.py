@@ -147,13 +147,35 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
         hot = sh.groupBy("sh_h").count().where(F.col("count") > max_df)
         sh = sh.join(hot.select("sh_h"), "sh_h", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("doc_id").alias("a"), "sh_h")
-    b = sh.select(F.col("doc_id").alias("b"), "sh_h")
-    inter = (
-        a.join(b, "sh_h")
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b").agg(F.count("*").alias("n_common"))
-    )
+    if max_df is not None:
+        # ONE shuffle of the shingle table: bucket per shingle hash,
+        # then a JVM combinational explode of (a < b) pairs inside
+        # the bucket. The self-join alternative shuffles the table
+        # TWICE (both join sides) plus the join build; at 10^12 docs
+        # the shingle table is the job's biggest intermediate, so
+        # halving its shuffle passes is the dominant term. Bucket
+        # arrays are bounded by max_df (<= 8 KB at the 1000 default),
+        # so the collect_list agg buffer can never blow up.
+        inter = (
+            sh.groupBy("sh_h")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+            .where(F.size("ids") >= 2)
+            .select(F.explode(F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), "
+                "y -> struct(x AS a, y AS b))))")).alias("p"))
+            .groupBy("p.a", "p.b").agg(F.count("*").alias("n_common"))
+        )
+    else:
+        # unbounded buckets (oracle-parity mode): keep the self-join,
+        # whose fan-out Spark spills instead of an agg buffer
+        a = sh.select(F.col("doc_id").alias("a"), "sh_h")
+        b = sh.select(F.col("doc_id").alias("b"), "sh_h")
+        inter = (
+            a.join(b, "sh_h")
+            .where(F.col("a") < F.col("b"))
+            .groupBy("a", "b").agg(F.count("*").alias("n_common"))
+        )
     out = (
         inter.join(sizes.selectExpr("doc_id AS a", "sz AS sza"), "a")
         .join(sizes.selectExpr("doc_id AS b", "sz AS szb"), "b")
