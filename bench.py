@@ -60,6 +60,21 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
+    # Headline FIRST, before the 70-query sweep: iterative operators
+    # localCheckpoint/persist blocks that ContextCleaner frees lazily,
+    # and after ~70 queries the JVM carries GC/storage pressure that
+    # taxes whatever runs last (observed: the same headline 1.4s in a
+    # fresh JVM, 4-9s at the tail of the sweep). The headline measures
+    # the pipeline, not the sweep's residue. Median of 3 timed runs
+    # after one warm pass damps this host's bursty CPU steal; the warm
+    # must use the SAME page count — the Range literal is baked into
+    # the generated code, so a different warm size leaves a fresh
+    # Janino compile of the refine CASE inside the timed region.
+    run_headline(spark, n_pages)  # warm
+    heads = sorted((run_headline(spark, n_pages) for _ in range(3)),
+                   key=lambda h: h["headline_sec"])
+    head = heads[1]
+
     # steady-state timing: run each query once to warm (JIT, codegen
     # compile, python-worker spawn), time the second run — this VM has
     # bursty host CPU steal, and cold runs vary 2-10x
@@ -73,22 +88,27 @@ def main() -> None:
     # timed region.
     import gc
 
+    def drop_residue() -> None:
+        # Iterative operators (knn_kring, clump, attr_knn) leave
+        # localCheckpoint blocks pinned in the block manager — the
+        # ContextCleaner only frees them when the py4j proxies die,
+        # and even then lazily. Unpersist them eagerly (non-blocking)
+        # so query N+1 isn't taxed by query N's storage.
+        jsc = spark.sparkContext._jsc
+        for rdd in jsc.getPersistentRDDs().values():
+            rdd.unpersist(False)
+        spark.catalog.clearCache()
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
     qtimes: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
+        drop_residue()
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         qtimes[name] = round(time.time() - t0, 3)
-
-    # warm at the SAME page count: the Range literal is baked into the
-    # generated code, so a different warm size leaves a fresh Janino
-    # compile of the refine CASE inside the timed run (~1.5s once) —
-    # steady-state timing needs an identical-plan warm pass, exactly
-    # like the per-query loop above
-    run_headline(spark, n_pages)  # warm
-    head = run_headline(spark, n_pages)
+        drop_residue()
 
     out = {
         "metric": "pages_geoparse_cellassign_spatialjoin_throughput",
