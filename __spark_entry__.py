@@ -1717,6 +1717,71 @@ WHERE hamming <= {k}
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C / The Pile):
+    corpus docs sharing any word 3-gram with the held-out eval split
+    (every 50th doc), counted per doc. The eval shingle set is tiny
+    by construction, so dedup.contamination_flags broadcasts it —
+    the corpus streams map-side with zero shuffle of corpus bytes."""
+    from rsgislib_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.where("doc_id % 50 = 0")
+    corpus = docs.where("doc_id % 50 <> 0")
+    return dedup.contamination_flags(corpus, ev, n=3)
+
+
+def q_decontaminate_sql() -> str:
+    return """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+idx AS (SELECT doc_id, t, UNNEST(range(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 3),
+sh AS (SELECT DISTINCT doc_id,
+              t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS shingle
+       FROM idx),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+co AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0)
+SELECT co.doc_id, COUNT(*) AS n_shared
+FROM co JOIN ev USING (shingle)
+GROUP BY co.doc_id
+"""
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition quality filters (Gopher /
+    MassiveText): duplicate-bigram fraction and most-frequent-token
+    share per document — pure per-row codegen projections, scan
+    speed at any corpus size."""
+    from rsgislib_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.repetition_stats(docs, n=2).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+        "dup_ngram_frac", "top_token_frac")
+
+
+def q_repetition_stats_sql() -> str:
+    return """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+tok AS (SELECT doc_id, UNNEST(t) AS tk FROM toks),
+topf AS (SELECT doc_id, MAX(c) AS mx FROM
+           (SELECT doc_id, tk, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+         GROUP BY doc_id),
+gr AS (SELECT doc_id,
+              COUNT(DISTINCT t[i] || ' ' || t[i + 1]) AS nd,
+              COUNT(*) AS ng
+       FROM (SELECT doc_id, t, UNNEST(range(1, len(t))) AS i
+             FROM toks WHERE len(t) >= 2)
+       GROUP BY doc_id)
+SELECT s.doc_id, CAST(len(s.t) AS BIGINT) AS n_tokens,
+       COALESCE(1 - CAST(gr.nd AS DOUBLE) / CAST(gr.ng AS DOUBLE),
+                CAST(0 AS DOUBLE)) AS dup_ngram_frac,
+       CAST(topf.mx AS DOUBLE) / CAST(len(s.t) AS DOUBLE)
+           AS top_token_frac
+FROM toks s LEFT JOIN gr USING (doc_id) JOIN topf USING (doc_id)
+"""
+
+
 def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (brute-force baseline of
     the task brief's 'embedding-cosine near-dup'; the LSH-bucketed
@@ -2259,6 +2324,9 @@ _REGISTRY: dict[str, tuple] = {
     "minhash_lsh": (q_minhash_lsh, q_minhash_lsh_sql),
     "simhash_groups": (q_simhash_groups, q_simhash_groups_sql),
     "simhash_near": (q_simhash_near, q_simhash_near_sql),
+    # NEW this round: decontamination + repetition quality filters
+    "decontaminate": (q_decontaminate, q_decontaminate_sql),
+    "repetition_stats": (q_repetition_stats, q_repetition_stats_sql),
     "cosine_topk": (q_cosine_topk, q_cosine_topk_sql),
     "cosine_neardup": (q_cosine_neardup, q_cosine_neardup_sql),
     "cosine_lsh_neardup": (q_cosine_lsh_neardup, q_cosine_lsh_neardup_sql),
@@ -2282,8 +2350,6 @@ _REGISTRY: dict[str, tuple] = {
     "attr_knn": (q_attr_knn, q_attr_knn_sql),
     "clump": (q_clump, q_clump_sql),
     "polygonize": (q_polygonize, q_polygonize_sql),
-    "img_correlation": (q_img_correlation, q_img_correlation_sql),
-    "mutual_info": (q_mutual_info, q_mutual_info_sql),
     # r2-era tail stats rotating back in (last driver row was r2;
     # re-verify post-refactor)
     "emd": (q_emd, q_emd_sql),
@@ -2298,6 +2364,11 @@ _REGISTRY: dict[str, tuple] = {
     # below: green in BOTH the r2 and r3 driver gates in identical
     # form and untouched since; still checked every round by the
     # local DuckDB gate (tools/compare_oracle.py)
+    # (img_correlation / mutual_info rotated out this round to make
+    # room for the two NEW gated queries — both green in r3,
+    # single-row aggregates, untouched since)
+    "img_correlation": (q_img_correlation, q_img_correlation_sql),
+    "mutual_info": (q_mutual_info, q_mutual_info_sql),
     "tile_assign": (q_tile_assign, q_tile_assign_sql),
     "cell_rollup": (q_cell_rollup, q_cell_rollup_sql),
     "hex_assign": (q_hex_assign, q_hex_assign_sql),

@@ -452,3 +452,75 @@ def near_dup_groups(pairs: DataFrame,
         .withColumn("group_id", F.coalesce("root", "doc_id"))
         .drop("root")
     )
+
+
+def contamination_flags(corpus: DataFrame, eval_set: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n: int = 3, min_shared: int = 1) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing at
+    least min_shared word n-grams with any held-out evaluation
+    document (the train/test-overlap scrub every LLM pretraining
+    pipeline runs before training; n-gram membership test per
+    GPT-3 appendix C / The Pile).
+
+    Scale design: the EVAL side is small by construction (benchmarks
+    are thousands of docs, the corpus is billions), so its distinct
+    shingle-hash set is collected into a broadcast hash join — the
+    corpus side streams through map-side with ZERO shuffle of corpus
+    bytes; the only aggregation is per-corpus-doc counting of matched
+    shingles, which Spark does with a map-side partial first.
+
+    Returns (doc_id, n_shared) for contaminated docs only —
+    downstream does an anti-join against this to drop them.
+    """
+    ev = (shingles(eval_set, id_col, text_col, n)
+          .select(F.xxhash64("shingle").alias("sh_h")).distinct())
+    sh = shingles(corpus, id_col, text_col, n).select(
+        "doc_id", F.xxhash64("shingle").alias("sh_h"))
+    from pyspark.sql.functions import broadcast
+
+    return (
+        sh.join(broadcast(ev), "sh_h")
+        .groupBy("doc_id").agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", n: int = 2) -> DataFrame:
+    """Within-document repetition quality signals (the Gopher /
+    MassiveText repetition filters): fraction of duplicate word
+    n-grams and the most-frequent-token share. Repetitive documents
+    (boilerplate, keyword stuffing, ASCII art) score high and are
+    dropped before training.
+
+    Everything is a per-row projection over the token array — no
+    shuffle, no UDF; at 100 TB this runs at scan speed inside
+    whole-stage codegen's higher-order expressions.
+
+    Returns (doc_id, n_tokens, dup_ngram_frac, top_token_frac):
+      dup_ngram_frac  = 1 - distinct_ngrams / total_ngrams (0 when
+                        the doc has fewer than n tokens)
+      top_token_frac  = occurrences of the most frequent token /
+                        n_tokens (ties resolved by the count alone —
+                        only the max count matters)
+    """
+    gram = "concat_ws(' ', " + ", ".join(
+        f"_toks[i + {j}]" for j in range(n)) + ")"
+    return (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.split(F.col(text_col), " ").alias("_toks"))
+        .selectExpr(
+            "doc_id",
+            "size(_toks) AS n_tokens",
+            f"""CASE WHEN size(_toks) < {n} THEN CAST(0 AS DOUBLE)
+                ELSE 1 - CAST(size(array_distinct(
+                    transform(sequence(0, size(_toks) - {n}),
+                              i -> {gram}))) AS DOUBLE)
+                     / CAST(size(_toks) - {n} + 1 AS DOUBLE)
+            END AS dup_ngram_frac""",
+            """CAST(array_max(transform(array_distinct(_toks), t ->
+                   size(filter(_toks, x -> x = t)))) AS DOUBLE)
+               / CAST(size(_toks) AS DOUBLE) AS top_token_frac""",
+        )
+    )

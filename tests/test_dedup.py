@@ -184,3 +184,64 @@ def test_near_dup_groups_distributed_path_never_collects(spark, monkeypatch):
     assert pulls == [], f"distributed path collected {pulls}"
     monkeypatch.setattr(DataFrame, "collect", orig)
     assert out.count() == 8  # every node of the pair graph appears
+
+
+def test_contamination_flags_counts_shared_shingles(spark):
+    from rsgislib_spark.operators import dedup as dd
+
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id BIGINT, text STRING")
+    corpus = spark.createDataFrame(
+        [(1, "a quick brown fox sat"),          # shares "quick brown fox"
+         (2, "totally different words here"),   # clean
+         (3, "the quick brown fox jumps too")], # shares 3 eval shingles
+        "doc_id BIGINT, text STRING")
+    got = {r.doc_id: r.n_shared
+           for r in dd.contamination_flags(corpus, ev).collect()}
+    assert got == {1: 1, 3: 3}
+
+
+def test_contamination_flags_broadcasts_eval_side(spark):
+    """Scale structure: the eval shingle set must reach the corpus as
+    a broadcast hash join — no shuffle of corpus bytes."""
+    from rsgislib_spark.operators import dedup as dd
+
+    ev = spark.createDataFrame(
+        [(0, "x y z")], "doc_id BIGINT, text STRING")
+    corpus = spark.createDataFrame(
+        [(1, "x y z w")], "doc_id BIGINT, text STRING")
+    plan = dd.contamination_flags(corpus, ev)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_repetition_stats_known_values(spark):
+    from rsgislib_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"),        # bigrams: 3x "a a" -> dup 2/3; top 1.0
+         (2, "w x y z"),        # all distinct -> dup 0; top 1/4
+         (3, "solo")],          # < 2 tokens -> dup 0 by definition
+        "doc_id BIGINT, text STRING")
+    got = {r.doc_id: r for r in dd.repetition_stats(docs).collect()}
+    assert got[1].n_tokens == 4
+    assert abs(got[1].dup_ngram_frac - (1 - 1 / 3)) < 1e-12
+    assert got[1].top_token_frac == 1.0
+    assert got[2].dup_ngram_frac == 0.0
+    assert got[2].top_token_frac == 0.25
+    assert got[3].n_tokens == 1
+    assert got[3].dup_ngram_frac == 0.0
+    assert got[3].top_token_frac == 1.0
+
+
+def test_repetition_stats_is_shuffle_free(spark):
+    """Per-row projection only: the physical plan must contain no
+    Exchange — at 100 TB this op runs at scan speed."""
+    from rsgislib_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(1, "a b c")], "doc_id BIGINT, text STRING")
+    plan = dd.repetition_stats(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
