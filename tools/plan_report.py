@@ -91,6 +91,18 @@ CHECKS = {
         forbid=["CartesianProduct", "BroadcastNestedLoopJoin",
                 "BatchEvalPython"],
     ),
+    "decontamination (corpus vs broadcast eval shingle set)": dict(
+        # the eval side is small by construction; the corpus must
+        # stream map-side through a broadcast hash join — a shuffle
+        # of corpus shingles is the 100 TB anti-pattern
+        expect=["BroadcastHashJoin", "partial_count"],
+        forbid=["SortMergeJoin", "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    "repetition quality stats (per-row projections)": dict(
+        # scan-speed per-doc signals: no shuffle, no Python anywhere
+        expect=["Project"],
+        forbid=["Exchange", "BatchEvalPython", "ArrowEvalPython"],
+    ),
     "parquet filter pushdown (pt_id = 42)": dict(
         expect=["PushedFilters: [IsNotNull(pt_id), EqualTo(pt_id,42)]"],
         forbid=[],
@@ -208,6 +220,15 @@ def main():
         return similarity.ivf_topk(emb.limit(16), emb, k=5,
                                    n_centroids=64, dim=64)
 
+    def decontaminate():
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return dedup.contamination_flags(docs.where("doc_id % 50 <> 0"),
+                                         docs.where("doc_id % 50 = 0"))
+
+    def repetition():
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return dedup.repetition_stats(docs)
+
     def pushdown():
         p = "/tmp/plan_pts.parquet"
         derived.points_df(spark, sf).write.mode("overwrite").parquet(p)
@@ -228,6 +249,7 @@ def main():
                             sj_left_pages, overlay_pairs, clump_edges,
                             knn_pages, sj_df_big,
                             lsh_pairs, ivf,
+                            decontaminate, repetition,
                             pushdown, partition_prune]))
 
     out = ["# PLANS — physical-plan evidence (generated by tools/plan_report.py)",
