@@ -58,3 +58,79 @@ def first_seen_dedup(pages: DataFrame, key_col: str = "url") -> DataFrame:
         .applyInPandasWithState(
             fn, PAGE_OUT, _STATE, "append", GroupStateTimeout.NoTimeout)
     )
+
+
+SESSION_OUT = StructType([
+    StructField("user_id", LongType()),
+    StructField("session_seq", LongType()),
+    StructField("n_events", LongType()),
+    StructField("dur_us", LongType()),
+])
+_SESS_STATE = StructType([
+    StructField("session_seq", LongType()),
+    StructField("start_us", LongType()),
+    StructField("last_us", LongType()),
+    StructField("n_events", LongType()),
+])
+
+
+def sessionize_stream(events: DataFrame,
+                      gap_us: int = 1_800_000_000) -> DataFrame:
+    """Streaming sessionization — the incremental twin of the batch
+    `sessionize` query (__spark_entry__.q_sessionize): a gap over
+    gap_us (default 30 min) between consecutive events of a user
+    starts a new session; each COMPLETED session emits one row
+    (user_id, session_seq, n_events, dur_us) with exactly the batch
+    query's values, so a session closed by the stream hashes equal to
+    the same session computed by the batch window plan.
+
+    Per-user state is four ints (open session's seq/start/last/count)
+    in the state store, sharded by the groupBy hash — the same user_id
+    key-sharding the batch window shuffle uses, kept incremental
+    across micro-batches. A session closes when a later event of the
+    SAME user arrives past the gap; feeds that need the final open
+    sessions flushed append one sentinel event per user with
+    ts > last + gap (the deterministic flush used by the
+    batch-equivalence test — the sentinel's own one-event session
+    stays open in state and is never emitted).
+
+    Ordering contract: events must arrive time-ordered per user
+    ACROSS micro-batches (in-batch disorder is fine — each batch is
+    sorted on (ts, event_id) before folding). A feed with cross-batch
+    late data needs a watermark+reorder stage upstream.
+    """
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            seq, start, last, n = state.get
+        else:
+            seq, start, last, n = 0, None, None, 0
+        pdf = pd.concat(list(pdfs))
+        if len(pdf) == 0:
+            return
+        pdf = pdf.sort_values(["ts", "event_id"])
+        closed = []
+        for us in pdf["ts"].astype("datetime64[us]").astype("int64"):
+            us = int(us)
+            if last is None or us - last > gap_us:
+                if n > 0:
+                    closed.append((int(key[0]), seq, n, last - start))
+                seq += 1
+                start = us
+                n = 0
+            n += 1
+            last = us
+        state.update((int(seq), int(start), int(last), int(n)))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_seq", "n_events", "dur_us"])
+
+    return (
+        events.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, SESSION_OUT, _SESS_STATE, "append",
+            GroupStateTimeout.NoTimeout)
+    )

@@ -135,3 +135,77 @@ def test_stream_spatial_join_matches_batch(spark, tmp_path):
             for r in sj.spatial_join(batch_pts, idx, how="inner")
             .select("url", "poly_id").collect()}
     assert got == want and len(want) > 0
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """Batch-equivalence: sessions closed by the stream (across TWO
+    micro-batch runs, state persisted via the checkpoint) must equal
+    the batch window-plan sessionization of the same events, value
+    for value (session_seq, n_events, dur_us)."""
+    import datetime as dt
+
+    from pyspark.sql import Window, functions as F
+
+    from rsgislib_spark.streaming import stateful
+
+    src = str(tmp_path / "ev_in")
+    out = str(tmp_path / "ev_out")
+    ckpt = str(tmp_path / "ev_ck")
+    t0 = dt.datetime(2026, 1, 1, 8, 0, 0)
+
+    def mins(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    def rows(batch):
+        return spark.createDataFrame(
+            batch, "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT")
+
+    # user 1: two sessions in batch A (gap 45 > 30 min), one spanning
+    # the A/B boundary; user 2: one session entirely in batch A
+    batch_a = [(1, mins(0), 1), (2, mins(10), 1),    # u1 s1
+               (3, mins(55), 1), (4, mins(60), 1),   # u1 s2...
+               (10, mins(0), 2), (11, mins(20), 2)]  # u2 s1
+    batch_b = [(5, mins(70), 1),                     # ...u1 s2 cont.
+               (6, mins(120), 1)]                    # u1 s3
+    # sentinels: one far-future event per user flushes the open session
+    flush = [(98, mins(10000), 1), (99, mins(10000), 2)]
+
+    real = rows(batch_a + batch_b)
+
+    rows(batch_a).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT").parquet(src)
+    q = (stateful.sessionize_stream(stream)
+         .writeStream.outputMode("append").format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    rows(batch_b + flush).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT").parquet(src)
+    q2 = (stateful.sessionize_stream(stream2)
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .trigger(availableNow=True).start())
+    q2.awaitTermination()
+
+    got = {(r.user_id, r.session_seq): (r.n_events, r.dur_us)
+           for r in spark.read.parquet(out).collect()}
+
+    # batch oracle: the q_sessionize window plan on the real events
+    us = F.unix_micros(F.to_utc_timestamp(F.col("ts"), "UTC"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = us - F.lag(us).over(w)
+    sess = real.withColumn(
+        "session_seq",
+        F.sum(F.when(gap.isNull() | (gap > 1_800_000_000), 1)
+              .otherwise(0)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    want = {(r.user_id, r.session_seq): (r.n_events, r.dur_us)
+            for r in sess.groupBy("user_id", "session_seq")
+            .agg(F.count("*").alias("n_events"),
+                 (F.max(us) - F.min(us)).alias("dur_us")).collect()}
+
+    assert got == want
+    assert (1, 2) in got and got[(1, 2)][0] == 3  # the A/B-spanning session
