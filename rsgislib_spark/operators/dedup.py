@@ -519,8 +519,20 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
                               i -> {gram}))) AS DOUBLE)
                      / CAST(size(_toks) - {n} + 1 AS DOUBLE)
             END AS dup_ngram_frac""",
-            """CAST(array_max(transform(array_distinct(_toks), t ->
-                   size(filter(_toks, x -> x = t)))) AS DOUBLE)
+            # max token frequency == longest equal run of the SORTED
+            # array: O(N log N) sort + O(N) fold. The obvious
+            # per-distinct-token filter scan is O(distinct * N) —
+            # quadratic on a 10^5-token document, a per-row time bomb
+            # at corpus scale.
+            """CAST(aggregate(array_sort(_toks),
+                   named_struct('prev', CAST(NULL AS STRING),
+                                'run', 0L, 'best', 0L),
+                   (acc, x) -> named_struct(
+                       'prev', x,
+                       'run', IF(acc.prev <=> x, acc.run + 1, 1L),
+                       'best', greatest(acc.best,
+                                IF(acc.prev <=> x, acc.run + 1, 1L))),
+                   acc -> acc.best) AS DOUBLE)
                / CAST(size(_toks) AS DOUBLE) AS top_token_frac""",
         )
     )

@@ -245,3 +245,46 @@ def test_repetition_stats_is_shuffle_free(spark):
     plan = dd.repetition_stats(docs)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_repetition_and_contamination_match_python_reference(spark):
+    """Randomized cross-check: 40 seeded random docs, exact equality
+    against a pure-Python reference of both formulas (the oracle SQL
+    checks DuckDB parity; this pins the SEMANTICS independently)."""
+    import random
+    from collections import Counter
+
+    from rsgislib_spark.operators import dedup as dd
+
+    rnd = random.Random(20260817)
+    vocab = ["alpha", "beta", "gamma", "delta", "x", "y", ""]
+    docs = [(i, " ".join(rnd.choice(vocab)
+                         for _ in range(rnd.randint(1, 30))))
+            for i in range(40)]
+    sdf = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+
+    # repetition reference
+    got = {r.doc_id: r for r in dd.repetition_stats(sdf).collect()}
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        grams = [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
+        dup = 0.0 if len(toks) < 2 else 1 - len(set(grams)) / len(grams)
+        top = max(Counter(toks).values()) / len(toks)
+        r = got[doc_id]
+        assert r.n_tokens == len(toks)
+        assert abs(r.dup_ngram_frac - dup) < 1e-12, (doc_id, text)
+        assert abs(r.top_token_frac - top) < 1e-12, (doc_id, text)
+
+    # contamination reference: eval = doc_id % 5 == 0
+    def sh3(text):
+        toks = text.split(" ")
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)
+                if len(" ".join(toks[i:i + 3])) > 0} \
+            if len(toks) >= 3 else set()
+
+    ev_union = set().union(*(sh3(t) for i, t in docs if i % 5 == 0))
+    want = {i: len(sh3(t) & ev_union) for i, t in docs if i % 5 != 0}
+    want = {i: n for i, n in want.items() if n >= 1}
+    flags = dd.contamination_flags(
+        sdf.where("doc_id % 5 <> 0"), sdf.where("doc_id % 5 = 0"))
+    assert {r.doc_id: r.n_shared for r in flags.collect()} == want
