@@ -1,0 +1,113 @@
+"""URL normalization / host rollup + PII scrubbing (functions/url.py)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from rsgislib_spark.functions import url as U
+
+
+@pytest.fixture(scope="module")
+def urls(spark):
+    rows = [
+        (0, "https://WWW.Example.COM/a/1"),
+        (1, "https://example.com/a/2"),
+        (2, "http://www.news.co.uk/world/3"),
+        (3, "https://sub.news.co.uk/world/4"),
+    ]
+    return spark.createDataFrame(rows, "id BIGINT, url STRING")
+
+
+def test_norm_host_strips_www_and_case(spark, urls):
+    got = {r.id: r.h for r in urls.select(
+        "id", U.url_norm_host("url").alias("h")).collect()}
+    assert got == {0: "example.com", 1: "example.com",
+                   2: "news.co.uk", 3: "sub.news.co.uk"}
+
+
+def test_tld_is_last_label(spark, urls):
+    got = {r.id: r.t for r in urls.selectExpr(
+        "id", U.url_tld_sql("url") + " AS t").collect()}
+    assert got == {0: "com", 1: "com", 2: "uk", 3: "uk"}
+
+
+def test_path_segments(spark, urls):
+    got = {r.id: (r.s1, r.s2) for r in urls.selectExpr(
+        "id",
+        U.url_path_seg_sql("url", 1) + " AS s1",
+        U.url_path_seg_sql("url", 2) + " AS s2").collect()}
+    assert got[0] == ("a", "1") and got[2] == ("world", "3")
+
+
+def test_url_sql_matches_duckdb(spark, urls):
+    """The shared-SQL builders evaluate identically on both engines."""
+    parts = [f"{U.url_norm_host_sql('url')} AS h",
+             f"{U.url_tld_sql('url')} AS t",
+             f"{U.url_path_seg_sql('url', 1)} AS s1"]
+    spark_rows = sorted(tuple(r) for r in
+                        urls.selectExpr("id", *parts).collect())
+    pdf = urls.toPandas()
+    duck_rows = sorted(tuple(r) for r in duckdb.sql(
+        f"SELECT id, {', '.join(parts)} FROM pdf").fetchall())
+    assert spark_rows == duck_rows
+
+
+@pytest.fixture(scope="module")
+def pii_docs(spark):
+    rows = [
+        (0, "mail me at alice@corp.example.org thanks"),
+        (1, "server at 192.168.1.200 and backup 10.0.0.7"),
+        (2, "both bob.smith+x@mail.co and 8.8.8.8 appear"),
+        (3, "clean text, no pii here; version 1.2 only"),
+        (4, "v1.2.3.4.5 is a version string, not an address"),
+    ]
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+
+def test_pii_scrub_spark(spark, pii_docs):
+    ex = U.pii_scrub_exprs("text", "spark")
+    got = {r.doc_id: r for r in pii_docs.selectExpr(
+        "doc_id", ex["scrubbed"] + " AS s",
+        ex["n_emails"] + " AS ne", ex["n_ips"] + " AS ni").collect()}
+    assert got[0].s == "mail me at <EMAIL> thanks"
+    assert (got[0].ne, got[0].ni) == (1, 0)
+    assert got[1].s == "server at <IP> and backup <IP>"
+    assert (got[1].ne, got[1].ni) == (0, 2)
+    assert got[2].s == "both <EMAIL> and <IP> appear"
+    assert (got[2].ne, got[2].ni) == (1, 1)
+    assert got[3].s == rowtext(pii_docs, 3)  # untouched
+    assert (got[3].ne, got[3].ni) == (0, 0)
+
+
+def rowtext(df, doc_id):
+    return df.where(F.col("doc_id") == doc_id).collect()[0].text
+
+
+def test_pii_scrub_engines_agree(spark, pii_docs):
+    """Same pattern, per-engine global-replace handling: byte-equal
+    output on Spark and DuckDB for every row (incl. the 5-octet
+    version-string edge, wherever each engine's \\b lands)."""
+    exs = U.pii_scrub_exprs("text", "spark")
+    exd = U.pii_scrub_exprs("text", "duckdb")
+    spark_rows = sorted((r.doc_id, r.s, r.ne, r.ni) for r in
+                        pii_docs.selectExpr(
+        "doc_id", exs["scrubbed"] + " AS s",
+        exs["n_emails"] + " AS ne", exs["n_ips"] + " AS ni").collect())
+    pdf = pii_docs.toPandas()
+    duck_rows = sorted(tuple(r) for r in duckdb.sql(
+        f"SELECT doc_id, {exd['scrubbed']} AS s, {exd['n_emails']} AS ne, "
+        f"{exd['n_ips']} AS ni FROM pdf ORDER BY doc_id").fetchall())
+    assert spark_rows == duck_rows
+
+
+def test_host_rollup_query_shape(spark):
+    """Gated-query smoke at fixture scale: one row per (host, tld),
+    page counts conserved."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["url_host_rollup"](spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert sum(r.n_pages for r in rows) == entry._PIPE_N
+    assert len({(r.host, r.tld) for r in rows}) == len(rows)
+    assert all(r.tld == r.host.rsplit(".", 1)[1] for r in rows)
+    assert all(r.n_places >= 1 and r.min_page_id >= 0 for r in rows)
