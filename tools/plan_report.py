@@ -103,6 +103,18 @@ CHECKS = {
         expect=["Project"],
         forbid=["Exchange", "BatchEvalPython", "ArrowEvalPython"],
     ),
+    "url host rollup (codegen parse → |hosts|-cardinality agg)": dict(
+        # host/TLD/path parsing is pure string codegen; the only
+        # shuffle is the per-host aggregation with map-side combine
+        expect=["HashAggregate", "partial_count"],
+        forbid=["SortMergeJoin", "BatchEvalPython", "ArrowEvalPython",
+                "Exchange SinglePartition"],
+    ),
+    "pii scrub (per-row regexp redaction)": dict(
+        # scan-speed per-doc redaction: no shuffle, no Python anywhere
+        expect=["Project"],
+        forbid=["Exchange", "BatchEvalPython", "ArrowEvalPython"],
+    ),
     "parquet filter pushdown (pt_id = 42)": dict(
         expect=["PushedFilters: [IsNotNull(pt_id), EqualTo(pt_id,42)]"],
         forbid=[],
@@ -229,6 +241,16 @@ def main():
         docs = spark.read.parquet(f"{sf}/documents.parquet")
         return dedup.repetition_stats(docs)
 
+    def url_rollup():
+        import __spark_entry__ as entry
+
+        return entry.q_url_host_rollup(spark, sf)
+
+    def pii():
+        import __spark_entry__ as entry
+
+        return entry.q_pii_scrub(spark, sf)
+
     def pushdown():
         p = "/tmp/plan_pts.parquet"
         derived.points_df(spark, sf).write.mode("overwrite").parquet(p)
@@ -250,6 +272,7 @@ def main():
                             knn_pages, sj_df_big,
                             lsh_pairs, ivf,
                             decontaminate, repetition,
+                            url_rollup, pii,
                             pushdown, partition_prune]))
 
     out = ["# PLANS — physical-plan evidence (generated by tools/plan_report.py)",
