@@ -1404,7 +1404,7 @@ def q_mutual_info_sql() -> str:
 
     def bucket(c):
         return (f"LEAST(GREATEST(CAST(FLOOR(({c} - CAST(-99 AS DOUBLE))"
-                f" / CAST({w!r} AS DOUBLE)) AS BIGINT), 0), 15)")
+                f" / CAST('{w!r}' AS DOUBLE)) AS BIGINT), 0), 15)")
 
     return f"""
 WITH pairs AS ({_grid2_pairs_sql()}),
@@ -1435,7 +1435,7 @@ def q_emd_sql() -> str:
 
     def bucket(c):
         return (f"LEAST(GREATEST(CAST(FLOOR(({c} - CAST(-99 AS DOUBLE))"
-                f" / CAST({w!r} AS DOUBLE)) AS BIGINT), 0), 15)")
+                f" / CAST('{w!r}' AS DOUBLE)) AS BIGINT), 0), 15)")
 
     return f"""
 WITH pairs AS ({_grid2_pairs_sql()}),
@@ -1451,7 +1451,7 @@ cdf AS (SELECT bucket,
                SUM(nb) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
                  / (SELECT CAST(nt AS DOUBLE) FROM n) AS cb
         FROM h)
-SELECT ROUND(SUM(ABS(ca - cb) * CAST({w!r} AS DOUBLE)), 6) AS emd FROM cdf
+SELECT ROUND(SUM(ABS(ca - cb) * CAST('{w!r}' AS DOUBLE)), 6) AS emd FROM cdf
 """
 
 
@@ -1855,8 +1855,16 @@ def q_cosine_lsh_neardup_sql() -> str:
     mask = (1 << rows_per_band) - 1
     bit_terms = []
     for i in range(LSH_BITS):
+        # STRING-cast literals: DuckDB types a bare 17-digit decimal
+        # literal as DECIMAL and converts lossily (~12% of gaussian
+        # coefficients land 1 ulp off — measured), which could flip a
+        # near-zero plane dot's sign vs Spark's exact double literal;
+        # CAST('<repr>' AS DOUBLE) parses correctly rounded in both
+        # engines. float() also unwraps np.float64 (numpy>=2 reprs as
+        # 'np.float64(...)' — invalid SQL).
         dot = " + ".join(
-            f"CAST(embedding[{j + 1}] AS DOUBLE)*({planes[i][j]!r})"
+            f"CAST(embedding[{j + 1}] AS DOUBLE)"
+            f"*CAST('{float(planes[i][j])!r}' AS DOUBLE)"
             for j in range(64))
         bit_terms.append(
             f"CASE WHEN (0.0 + {dot}) >= 0.0 THEN {1 << i} ELSE 0 END")

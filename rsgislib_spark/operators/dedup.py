@@ -167,9 +167,15 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
         # halving its shuffle passes is the dominant term. Bucket
         # arrays are bounded by max_df (<= 8 KB at the 1000 default),
         # so the collect_list agg buffer can never blow up.
+        # collect_set, not collect_list: a doc whose two DIFFERENT
+        # shingles collide to the same xxhash64 would appear twice in
+        # the bucket and the positional explode would emit a (d, d)
+        # self-pair (violating the a < b contract) and double-count
+        # n_common for its genuine pairs. The set dedupes per bucket;
+        # sorted distinct ids make every slice pair strictly a < b.
         inter = (
             sh.groupBy("sh_h")
-            .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+            .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
             .where(F.size("ids") >= 2)
             .select(F.explode(F.expr(
                 "flatten(transform(ids, (x, i) -> "

@@ -85,6 +85,13 @@ def decode_features(df: DataFrame, id_col: str = "media_id",
     decoder (decoders_available) and falls back to the deterministic
     stub; True forces the stub; False requires the real decoder and
     raises where none is installed (this container).
+
+    The probe runs on the DRIVER but decoding runs in executor python
+    workers; on a heterogeneous cluster (PIL on the driver image only)
+    each worker re-checks and raises a targeted error naming the
+    mismatch instead of an opaque ImportError mid-task. The converse
+    (executors have PIL, driver doesn't) selects the stub — pass
+    use_stub=False to force the real path in that setup.
     """
     if use_stub is None:
         use_stub = not decoders_available()
@@ -92,9 +99,17 @@ def decode_features(df: DataFrame, id_col: str = "media_id",
         raise NotImplementedError(
             "real image decoding needs PIL/ffmpeg — not in this container; "
             "use use_stub=True (deterministic fake) for plumbing tests")
-    decode = _fake_decode if use_stub else _real_decode
 
     def _decode(batches):
+        if use_stub:
+            decode = _fake_decode
+        else:
+            if not decoders_available():
+                raise ImportError(
+                    "the driver probe found PIL but this EXECUTOR's python "
+                    "has none (heterogeneous images) — install PIL on the "
+                    "executor image or pass use_stub=True")
+            decode = _real_decode
         for pdf in batches:
             ids, feats = [], []
             for mid, blob in zip(pdf[id_col], pdf[blob_col]):

@@ -37,10 +37,11 @@ def pixel_center_exprs(origin_x: float, origin_y: float, res: float,
                        x: str = "x", y: str = "y") -> tuple:
     """Shared-SQL (Spark == DuckDB) pixel-center lon/lat expressions.
     North-up grid: row y grows southward (GDAL convention)."""
-    lon = (f"(CAST({origin_x!r} AS DOUBLE) + (CAST({x} AS DOUBLE)"
-           f" + CAST(0.5 AS DOUBLE)) * CAST({res!r} AS DOUBLE))")
-    lat = (f"(CAST({origin_y!r} AS DOUBLE) - (CAST({y} AS DOUBLE)"
-           f" + CAST(0.5 AS DOUBLE)) * CAST({res!r} AS DOUBLE))")
+    origin_x, origin_y, res = float(origin_x), float(origin_y), float(res)
+    lon = (f"(CAST('{origin_x!r}' AS DOUBLE) + (CAST({x} AS DOUBLE)"
+           f" + CAST(0.5 AS DOUBLE)) * CAST('{res!r}' AS DOUBLE))")
+    lat = (f"(CAST('{origin_y!r}' AS DOUBLE) - (CAST({y} AS DOUBLE)"
+           f" + CAST(0.5 AS DOUBLE)) * CAST('{res!r}' AS DOUBLE))")
     return lon, lat
 
 
@@ -48,10 +49,11 @@ def point_to_pixel_exprs(origin_x: float, origin_y: float, res: float,
                          lon: str = "lon", lat: str = "lat") -> tuple:
     """floor((pt - origin)/res) — the reference's exact arithmetic
     (zonalstats/__init__.py:1396)."""
-    px = (f"CAST(FLOOR(({lon} - CAST({origin_x!r} AS DOUBLE))"
-          f" / CAST({res!r} AS DOUBLE)) AS BIGINT)")
-    py = (f"CAST(FLOOR((CAST({origin_y!r} AS DOUBLE) - {lat})"
-          f" / CAST({res!r} AS DOUBLE)) AS BIGINT)")
+    origin_x, origin_y, res = float(origin_x), float(origin_y), float(res)
+    px = (f"CAST(FLOOR(({lon} - CAST('{origin_x!r}' AS DOUBLE))"
+          f" / CAST('{res!r}' AS DOUBLE)) AS BIGINT)")
+    py = (f"CAST(FLOOR((CAST('{origin_y!r}' AS DOUBLE) - {lat})"
+          f" / CAST('{res!r}' AS DOUBLE)) AS BIGINT)")
     return px, py
 
 
@@ -610,7 +612,7 @@ def pixel_percentiles_across_images(imgs: DataFrame,
     one map-side-combinable groupBy, exact interpolated percentile
     (the reference uses np.percentile, same linear interpolation)."""
     aggs = [
-        F.expr(f"CAST(percentile(value, CAST({p!r} AS DOUBLE)) AS DOUBLE)")
+        F.expr(f"CAST(percentile(value, CAST('{float(p)!r}' AS DOUBLE)) AS DOUBLE)")
         .alias(f"p{int(round(p * 100)):02d}")
         for p in pcts
     ]
@@ -659,4 +661,4 @@ def band_percentile(grid: DataFrame, band: int, pct: float,
     approximate too (rastergis.cpp:1767-1791)."""
     fn = "percentile" if exact else "percentile_approx"
     return grid.where(F.col("band") == band).selectExpr(
-        f"CAST({fn}(value, {pct!r}) AS DOUBLE) AS pct_val")
+        f"CAST({fn}(value, CAST('{float(pct)!r}' AS DOUBLE)) AS DOUBLE) AS pct_val")

@@ -137,10 +137,29 @@ def _fold_dots_udf(mat, dim: int):
     return _dots
 
 
+def check_dim(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Fail LOUDLY if any vector's length differs from ``dim``.
+
+    Every dot/norm here is an unrolled fixed-``dim`` expression: a
+    longer vector would be silently truncated (plausible-but-wrong
+    scores) and a shorter one NULL-propagates out-of-range element
+    reads into NULL scores — neither errors on its own. assert_true
+    wrapped in a filter cannot be pruned by the optimizer (the
+    predicate is non-foldable), costs one size() per row, and keeps
+    every valid row (assert_true returns NULL when the condition
+    holds)."""
+    return df.where(F.assert_true(
+        F.size(F.col(vec_col)) == dim,
+        f"{vec_col} length != dim={dim} — pass dim=<actual length> "
+        f"(fixed-dim unrolled dot/norm would silently mis-score)",
+    ).isNull())
+
+
 def with_unit_vec(df: DataFrame, vec_col: str = "embedding",
                   out_col: str = "unit", dim: int = 64) -> DataFrame:
     """L2-normalize once (double precision) so cosine == dot."""
-    tagged = df.withColumn("__n", norm_col(vec_col, dim))
+    tagged = check_dim(df, vec_col, dim).withColumn(
+        "__n", norm_col(vec_col, dim))
     return tagged.withColumn(out_col, F.expr(
         "array(" + ", ".join(f"{_elem(vec_col, i)} / __n"
                              for i in range(dim)) + ")")).drop("__n")
@@ -158,10 +177,12 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     the O(|q|*|c|) stage does only the dot."""
     from pyspark.sql import Window
 
-    q = queries.select(F.col(q_id).alias("q"), F.col(vec_col).alias("qv"),
-                       norm_col(vec_col, dim).alias("qn"))
-    c = corpus.select(F.col(c_id).alias("c"), F.col(vec_col).alias("cv"),
-                      norm_col(vec_col, dim).alias("cn"))
+    q = check_dim(queries, vec_col, dim).select(
+        F.col(q_id).alias("q"), F.col(vec_col).alias("qv"),
+        norm_col(vec_col, dim).alias("qn"))
+    c = check_dim(corpus, vec_col, dim).select(
+        F.col(c_id).alias("c"), F.col(vec_col).alias("cv"),
+        norm_col(vec_col, dim).alias("cn"))
     # spread the streamed corpus across the cluster: a small parquet
     # arrives as ONE split, which would run the O(|q|*|c|) scoring
     # stage on a single core
@@ -190,8 +211,9 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
     Norms are computed ONCE PER VECTOR before the pair join (same
     IEEE value as a per-pair norm — the per-vector sum is the same
     expression either way), so the O(n^2) stage does only the dot."""
-    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
-                     norm_col(vec_col, dim).alias("_n"))
+    base = check_dim(df, vec_col, dim).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+        norm_col(vec_col, dim).alias("_n"))
     # spread the streamed side: a small parquet arrives as ONE split,
     # which would run the O(n^2) pair stage on a single core
     a = base.selectExpr("_id AS a", "_v AS av", "_n AS na").repartition(
@@ -224,6 +246,7 @@ def hyperplane_signature(df: DataFrame, n_bits: int = 16, dim: int = 64,
     Hyperplanes are a deterministic seeded gaussian (driver numpy,
     broadcast as literals — a few KB)."""
     planes = hyperplanes(n_bits, dim, seed)
+    df = check_dim(df, vec_col, dim)
     if n_bits * dim <= _CODEGEN_MAX_TERMS:
         bits = None
         for i in range(n_bits):
@@ -337,6 +360,7 @@ def ivf_assign(df: DataFrame, n_centroids: int = 16, dim: int = 64,
     cents = (np.asarray(centroids, dtype=np.float64) if centroids is not None
              else _seed_centroids(n_centroids, dim, seed))
     n_centroids = len(cents)
+    df = check_dim(df, vec_col, dim)
     if n_centroids * dim <= _CODEGEN_MAX_TERMS:
         # argmax via an array of scores — a when/otherwise chain would
         # duplicate the running best per level (exponential plan tree)
@@ -361,6 +385,7 @@ def ivf_probe_cells(df: DataFrame, n_probe: int, n_centroids: int = 16,
     cents = (np.asarray(centroids, dtype=np.float64) if centroids is not None
              else _seed_centroids(n_centroids, dim, seed))
     n_centroids = len(cents)
+    df = check_dim(df, vec_col, dim)
     if n_centroids * dim <= _CODEGEN_MAX_TERMS:
         scored = F.array(*[
             F.struct((-dot_lits(vec_col, cents[i])).alias("neg"),

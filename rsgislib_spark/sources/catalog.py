@@ -105,9 +105,12 @@ def write_partitioned(df: DataFrame, target: str, cell_col: str,
         return "iceberg"
     if mode == "overwrite":
         # STATIC overwrite — full-table replace (matches the Iceberg
-        # branch's createOrReplace); the dynamic option here would
-        # silently keep partitions absent from df
-        df.write.partitionBy(cell_col).mode("overwrite").parquet(target)
+        # branch's createOrReplace). Pin the mode per-writer: relying
+        # on the session default would silently degrade to dynamic
+        # (keeping partitions absent from df) on clusters configured
+        # with spark.sql.sources.partitionOverwriteMode=dynamic.
+        df.write.option("partitionOverwriteMode", "static") \
+            .partitionBy(cell_col).mode("overwrite").parquet(target)
         return "parquet"
     writer = df.write.option("partitionOverwriteMode", "dynamic") \
         .partitionBy(cell_col)

@@ -195,3 +195,26 @@ def test_sig_codegen_tier_has_no_python(spark, emb):
     plan = sig._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_dim_mismatch_raises_not_misscores(spark):
+    """The unrolled fixed-dim dots must FAIL on a wrong-length vector,
+    never silently truncate (dim < len) or NULL-propagate (dim > len)."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    short = spark.createDataFrame(
+        [(0, [1.0] * 32), (1, [0.5] * 32)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    for bad in (
+        lambda: similarity.cosine_topk(short, short, k=1).collect(),
+        lambda: similarity.cosine_neardup_pairs(short).collect(),
+        lambda: similarity.hyperplane_signature(short, n_bits=8).collect(),
+        lambda: similarity.ivf_assign(short, n_centroids=4).collect(),
+        lambda: similarity.with_unit_vec(short).collect(),
+    ):
+        with pytest.raises((Py4JJavaError, PySparkException)):
+            bad()
+    # the guard passes vectors of the declared dim through untouched
+    ok = similarity.with_unit_vec(short, dim=32).collect()
+    assert len(ok) == 2

@@ -193,7 +193,28 @@ def write_baseline_md(n_pages: int) -> None:
     runs = []
     if os.path.exists(runs_path):
         with open(runs_path) as f:
-            runs = [json.loads(ln) for ln in f if ln.strip()]
+            for ln in f:
+                if not ln.strip():
+                    continue
+                # tolerate a line truncated by a killed run: the log
+                # is append-only evidence — one bad line must not
+                # block rendering every later run's BASELINE.md
+                try:
+                    r = json.loads(ln)
+                    r["n_executors"]["pages_per_sec"]
+                    r["four_n_executors"]["pages_per_sec"]
+                    r["raw_scaling_efficiency"], r["pass_raw"]
+                    r["hardware_cpu_ceiling_8_to_32"]
+                    r["engine_efficiency_vs_ceiling"]
+                except (ValueError, KeyError, TypeError):
+                    print(f"skipping malformed runs.jsonl line: {ln[:80]!r}",
+                          file=sys.stderr)
+                    continue
+                runs.append(r)
+    if not runs:
+        print("no complete runs in BENCH/runs.jsonl; BASELINE.md not "
+              "regenerated", file=sys.stderr)
+        return
     latest = runs[-1]
     rows = "\n".join(
         f"| {r.get('label', r.get('ts', '?'))} | {r['n_executors']['pages_per_sec']:,.0f} "
@@ -203,7 +224,7 @@ def write_baseline_md(n_pages: int) -> None:
         for r in reversed(runs))
     n_pass = sum(1 for r in runs if r["pass_raw"])
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(f"""# BENCH/BASELINE — two-cluster-size scaling evidence (latest run {latest['ts']})
+        f.write(f"""# BENCH/BASELINE — two-cluster-size scaling evidence (latest run {latest.get('ts', latest.get('label', '?'))})
 
 North rule: identical job at N and 4N executors, throughput scaling
 efficiency >= 0.8. Sandbox realization: ``local-cluster[N,4,8192]``
