@@ -1783,6 +1783,44 @@ FROM toks s LEFT JOIN gr USING (doc_id) JOIN topf USING (doc_id)
 """
 
 
+_SPAN_TOKENS = 3  # gate size: 3-token spans give a rich shared-span
+#                   mix on the 500-doc fixture (the operator default
+#                   is 16 — the published span-dedup window scale)
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-document span-level dedup (C4-style): per doc, how many
+    of its distinct k-token spans appear in another document. Uses
+    the portable md5-derived hash so the DuckDB oracle checks the
+    hash-level bucket decision, not just counts (minhash contract)."""
+    from rsgislib_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.span_dup_stats(docs, span_tokens=_SPAN_TOKENS,
+                                hash_mode="portable")
+
+
+def q_span_dedup_sql() -> str:
+    from rsgislib_spark.operators.dedup import portable_hash_duckdb
+
+    span = (f"array_to_string(tk[i * {_SPAN_TOKENS} + 1 :"
+            f" i * {_SPAN_TOKENS} + {_SPAN_TOKENS}], ' ')")
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+idx AS (SELECT doc_id, tk,
+        UNNEST(generate_series(0,
+          CAST(ceil(len(tk) / {_SPAN_TOKENS}.0) AS INT) - 1)) AS i
+        FROM toks),
+hs AS (SELECT DISTINCT doc_id, {portable_hash_duckdb(span)} AS h FROM idx),
+freq AS (SELECT h, COUNT(*) AS nd FROM hs GROUP BY 1)
+SELECT doc_id, COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       ROUND(CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS dup_frac
+FROM hs JOIN freq USING (h) GROUP BY 1
+"""
+
+
 def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (brute-force baseline of
     the task brief's 'embedding-cosine near-dup'; the LSH-bucketed
@@ -2409,6 +2447,7 @@ _REGISTRY: dict[str, tuple] = {
     "repetition_stats": (q_repetition_stats, q_repetition_stats_sql),
     "url_host_rollup": (q_url_host_rollup, q_url_host_rollup_sql),
     "pii_scrub": (q_pii_scrub, q_pii_scrub_sql),
+    "span_dedup": (q_span_dedup, q_span_dedup_sql),
     "cosine_topk": (q_cosine_topk, q_cosine_topk_sql),
     "cosine_neardup": (q_cosine_neardup, q_cosine_neardup_sql),
     "cosine_lsh_neardup": (q_cosine_lsh_neardup, q_cosine_lsh_neardup_sql),
@@ -2438,9 +2477,11 @@ _REGISTRY: dict[str, tuple] = {
     "zonal_masked": (q_zonal_masked, q_zonal_masked_sql),
     "range_lut_join": (q_range_lut_join, q_range_lut_join_sql),
     "unq_numeric_col": (q_unq_numeric_col, q_unq_numeric_col_sql),
-    "cat_proportions": (q_cat_proportions, q_cat_proportions_sql),
     "mosaic": (q_mosaic, q_mosaic_sql),
     # ---- driver window boundary (first 50 above) ----
+    # (cat_proportions also moved below for the NEW span_dedup gate —
+    # trivial single-join agg, driver-green in r1+r2, unchanged)
+    "cat_proportions": (q_cat_proportions, q_cat_proportions_sql),
     # (grid_histogram / band_percentile moved below the boundary to
     # make room for the two NEW gated pipeline ops — both are simple
     # single-table aggs, driver-green in r2, unchanged since, still

@@ -492,6 +492,50 @@ def contamination_flags(corpus: DataFrame, eval_set: DataFrame,
     )
 
 
+def span_dup_stats(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", span_tokens: int = 16,
+                   hash_mode: str = "xxhash64") -> DataFrame:
+    """CROSS-document span-level dedup stats (the C4 / deduplicating-
+    training-data recipe): chunk each document into non-overlapping
+    ``span_tokens``-token spans, and per document report how many of
+    its distinct spans also occur in ANOTHER document — the signal
+    span-removal / doc-dropping policies act on. Complements the
+    doc-level family (exact/minhash/simhash) and the WITHIN-doc
+    repetition_stats.
+
+    Returns (doc_id, n_spans, n_shared, dup_frac).
+
+    Scale shape: span generation is one codegen explode (split once,
+    slice per span — never a token-level explode), hashed to 8-byte
+    keys BEFORE any shuffle, distinct per (doc, hash). Two
+    aggregations follow: span frequency (map-side combinable; its
+    cardinality is |distinct spans| and each doc contributes a span
+    at most once, bounding hot-span skew) and the per-doc rollup.
+    hash_mode='portable' switches to the md5-derived 60-bit hash the
+    DuckDB oracle replicates (same contract as minhash_signatures).
+    """
+    spans = df.selectExpr(
+        f"{id_col} AS doc_id",
+        f"explode(transform("
+        f"sequence(0, CAST(ceil(size(split({text_col}, ' '))"
+        f" / {span_tokens}.0) AS INT) - 1), "
+        f"i -> array_join(slice(split({text_col}, ' '), "
+        f"i * {span_tokens} + 1, {span_tokens}), ' '))) AS span")
+    hs = spans.select(
+        "doc_id", _hash64("span", hash_mode).alias("h")).distinct()
+    # (doc, h) is distinct, so per-hash row count == distinct docs
+    freq = hs.groupBy("h").agg(F.count("*").alias("nd"))
+    return (
+        hs.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_spans"),
+             F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+             .alias("n_shared"))
+        .withColumn("dup_frac", F.round(
+            F.col("n_shared") / F.col("n_spans").cast("double"), 6))
+    )
+
+
 def repetition_stats(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", n: int = 2) -> DataFrame:
     """Within-document repetition quality signals (the Gopher /

@@ -288,3 +288,40 @@ def test_repetition_and_contamination_match_python_reference(spark):
     flags = dd.contamination_flags(
         sdf.where("doc_id % 5 <> 0"), sdf.where("doc_id % 5 = 0"))
     assert {r.doc_id: r.n_shared for r in flags.collect()} == want
+
+
+def test_span_dup_stats_known_values(spark):
+    """Hand-computed: doc0/doc1 share 'a b c'; doc2 is disjoint;
+    doc3 duplicates doc0 exactly (every span shared)."""
+    docs = spark.createDataFrame(
+        [(0, "a b c x y z"), (1, "a b c q r s"),
+         (2, "m n o p q t"), (3, "a b c x y z")],
+        "doc_id BIGINT, text STRING")
+    got = {r.doc_id: (r.n_spans, r.n_shared, r.dup_frac)
+           for r in dedup.span_dup_stats(docs, span_tokens=3).collect()}
+    assert got[0] == (2, 2, 1.0)       # 'a b c' with 1+3, 'x y z' with 3
+    assert got[1] == (2, 1, 0.5)       # only 'a b c' shared
+    assert got[2] == (2, 0, 0.0)
+    assert got[3] == (2, 2, 1.0)
+
+
+def test_span_dup_stats_intra_doc_repeat_counts_once(spark):
+    """A span repeated WITHIN one doc is not cross-doc sharing."""
+    docs = spark.createDataFrame(
+        [(0, "a b c a b c"), (1, "x y z w v u")],
+        "doc_id BIGINT, text STRING")
+    got = {r.doc_id: (r.n_spans, r.n_shared)
+           for r in dedup.span_dup_stats(docs, span_tokens=3).collect()}
+    assert got[0] == (1, 0)  # distinct spans: just 'a b c', unshared
+    assert got[1] == (2, 0)
+
+
+def test_span_dup_stats_hash_modes_agree(spark):
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 3} alpha beta gamma delta tok{i % 2}")
+         for i in range(12)], "doc_id BIGINT, text STRING")
+    a = sorted(map(tuple, dedup.span_dup_stats(
+        docs, span_tokens=2, hash_mode="xxhash64").collect()))
+    b = sorted(map(tuple, dedup.span_dup_stats(
+        docs, span_tokens=2, hash_mode="portable").collect()))
+    assert a == b

@@ -103,6 +103,13 @@ CHECKS = {
         expect=["Project"],
         forbid=["Exchange", "BatchEvalPython", "ArrowEvalPython"],
     ),
+    "span dedup (codegen span explode → hashed keys → two aggs)": dict(
+        # spans are hashed to 8-byte keys BEFORE any shuffle and the
+        # frequency agg partial-combines; no Python anywhere
+        expect=["HashAggregate", "partial_count"],
+        forbid=["SortMergeJoin", "BatchEvalPython", "ArrowEvalPython",
+                "Exchange SinglePartition", "CartesianProduct"],
+    ),
     "url host rollup (codegen parse → |hosts|-cardinality agg)": dict(
         # host/TLD/path parsing is pure string codegen; the only
         # shuffle is the per-host aggregation with map-side combine
@@ -241,6 +248,11 @@ def main():
         docs = spark.read.parquet(f"{sf}/documents.parquet")
         return dedup.repetition_stats(docs)
 
+    def span_dd():
+        import __spark_entry__ as entry
+
+        return entry.q_span_dedup(spark, sf)
+
     def url_rollup():
         import __spark_entry__ as entry
 
@@ -272,7 +284,7 @@ def main():
                             knn_pages, sj_df_big,
                             lsh_pairs, ivf,
                             decontaminate, repetition,
-                            url_rollup, pii,
+                            span_dd, url_rollup, pii,
                             pushdown, partition_prune]))
 
     out = ["# PLANS — physical-plan evidence (generated by tools/plan_report.py)",
