@@ -474,6 +474,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.selectExpr(
         "doc_id",
         T.token_count_sql("text") + " AS n_tokens",
+        T.bpe_token_count_sql("text", "spark") + " AS n_bpe_tokens",
         "ROUND(" + T.quality_score_sql("text") + ", 6) AS quality",
         T.lang_id_sql("text") + " AS lang_pred",
     )
@@ -483,6 +484,7 @@ def q_text_stats_sql() -> str:
     return (
         "SELECT doc_id, "
         + T.token_count_sql("text") + " AS n_tokens, "
+        + T.bpe_token_count_sql("text", "duckdb") + " AS n_bpe_tokens, "
         + "ROUND(" + T.quality_score_sql("text") + ", 6) AS quality, "
         + T.lang_id_sql("text") + " AS lang_pred FROM documents"
     )

@@ -81,6 +81,26 @@ def quality_score_sql(text: str) -> str:
     )
 
 
+# BPE-style pre-tokenizer (the GPT-2 regex family reduced to the
+# Java∩RE2 common subset: letter runs | digit runs | single
+# non-alnum marks; no lookahead — RE2 has none — and ASCII-space
+# delimiting to match the corpus/oracle). A letters+digits word like
+# 'abc123' counts as 2 tokens, 'v2.0' as 4 — the merge-friendly
+# granularity BPE vocabularies start from.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_token_count_sql(text: str, engine: str) -> str:
+    """Pre-tokenizer match count; the pattern is engine-identical,
+    only the list-length idiom differs."""
+    if engine == "spark":
+        return f"size(regexp_extract_all({text}, '{BPE_TOKEN_RE}', 0))"
+    if engine == "duckdb":
+        return (f"cast(length(regexp_extract_all({text}, "
+                f"'{BPE_TOKEN_RE}')) as int)")
+    raise ValueError(f"engine must be spark/duckdb, got {engine!r}")
+
+
 def token_count(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     return F.when(F.length(c) == 0, F.lit(0)).otherwise(

@@ -111,3 +111,23 @@ def test_host_rollup_query_shape(spark):
     assert len({(r.host, r.tld) for r in rows}) == len(rows)
     assert all(r.tld == r.host.rsplit(".", 1)[1] for r in rows)
     assert all(r.n_places >= 1 and r.min_page_id >= 0 for r in rows)
+
+
+def test_bpe_token_count_known_and_parity(spark):
+    """BPE-ish pre-tokenizer: letter runs | digit runs | single marks,
+    identical counts on both engines."""
+    from rsgislib_spark.functions import text as T
+
+    rows = [(0, "Hello, world! v2.0 abc123"),
+            (1, "plain words only here"),
+            (2, ""), (3, "...")]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = {r.doc_id: r.n for r in df.selectExpr(
+        "doc_id", T.bpe_token_count_sql("text", "spark") + " AS n").collect()}
+    assert got == {0: 10, 1: 4, 2: 0, 3: 3}
+    pdf = df.toPandas()
+    duck = dict(duckdb.sql(
+        "SELECT doc_id, "
+        + T.bpe_token_count_sql("text", "duckdb") + " AS n FROM pdf"
+    ).fetchall())
+    assert got == duck
