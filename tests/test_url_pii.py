@@ -131,3 +131,44 @@ def test_bpe_token_count_known_and_parity(spark):
         + T.bpe_token_count_sql("text", "duckdb") + " AS n FROM pdf"
     ).fetchall())
     assert got == duck
+
+
+def test_pii_scrub_randomized_truth(spark):
+    """Seeded-random corpus with KNOWN injected pii: counts must equal
+    the injection truth on both engines, and a second scrub pass must
+    find nothing (idempotence)."""
+    import random
+
+    rnd = random.Random(7)
+    words = ["alpha", "beta", "gamma", "delta", "nine", "x9y"]
+    rows, truth = [], {}
+    for i in range(60):
+        n_e, n_i = rnd.randint(0, 3), rnd.randint(0, 3)
+        toks = [rnd.choice(words) for _ in range(rnd.randint(3, 10))]
+        for k in range(n_e):
+            toks.insert(rnd.randint(0, len(toks)), f"user{i}.{k}@ex{k}.org")
+        for k in range(n_i):
+            toks.insert(rnd.randint(0, len(toks)),
+                        ".".join(str(rnd.randint(1, 254)) for _ in range(4)))
+        rows.append((i, " ".join(toks)))
+        truth[i] = (n_e, n_i)
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    ex = U.pii_scrub_exprs("text", "spark")
+    got = {r.doc_id: (r.ne, r.ni, r.s) for r in df.selectExpr(
+        "doc_id", ex["n_emails"] + " AS ne",
+        ex["n_ips"] + " AS ni", ex["scrubbed"] + " AS s").collect()}
+    assert {k: v[:2] for k, v in got.items()} == truth
+    # idempotence: scrubbing the scrubbed text finds nothing
+    sdf = spark.createDataFrame(
+        [(k, v[2]) for k, v in got.items()], "doc_id BIGINT, text STRING")
+    ex2 = U.pii_scrub_exprs("text", "spark")
+    again = sdf.selectExpr(ex2["n_emails"] + " AS ne",
+                           ex2["n_ips"] + " AS ni").collect()
+    assert all((r.ne, r.ni) == (0, 0) for r in again)
+    # DuckDB agrees on every count and every scrubbed byte
+    pdf = df.toPandas()
+    exd = U.pii_scrub_exprs("text", "duckdb")
+    duck = {r[0]: (r[1], r[2], r[3]) for r in duckdb.sql(
+        f"SELECT doc_id, {exd['n_emails']}, {exd['n_ips']}, "
+        f"{exd['scrubbed']} FROM pdf").fetchall()}
+    assert duck == got
