@@ -1805,21 +1805,23 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_span_dedup_sql() -> str:
     from rsgislib_spark.operators.dedup import portable_hash_duckdb
 
-    span = (f"array_to_string(tk[i * {_SPAN_TOKENS} + 1 :"
-            f" i * {_SPAN_TOKENS} + {_SPAN_TOKENS}], ' ')")
     return f"""
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-idx AS (SELECT doc_id, tk,
-        UNNEST(generate_series(0,
-          CAST(ceil(len(tk) / {_SPAN_TOKENS}.0) AS INT) - 1)) AS i
-        FROM toks),
-hs AS (SELECT DISTINCT doc_id, {portable_hash_duckdb(span)} AS h FROM idx),
-freq AS (SELECT h, COUNT(*) AS nd FROM hs GROUP BY 1)
+WITH toks AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS tk
+              FROM documents),
+idx AS (SELECT doc_id,
+        array_to_string(tk[i * {_SPAN_TOKENS} + 1 :
+                           i * {_SPAN_TOKENS} + {_SPAN_TOKENS}], ' ') AS span
+        FROM (SELECT doc_id, tk,
+              UNNEST(generate_series(0,
+                CAST(ceil(len(tk) / {_SPAN_TOKENS}.0) AS INT) - 1)) AS i
+              FROM toks)),
+hs AS (SELECT DISTINCT doc_id, {portable_hash_duckdb('span')} AS h FROM idx),
+nd AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY h) AS nd FROM hs)
 SELECT doc_id, COUNT(*) AS n_spans,
        CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
        ROUND(CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*), 6) AS dup_frac
-FROM hs JOIN freq USING (h) GROUP BY 1
+FROM nd GROUP BY 1
 """
 
 

@@ -505,29 +505,40 @@ def span_dup_stats(df: DataFrame, id_col: str = "doc_id",
 
     Returns (doc_id, n_spans, n_shared, dup_frac).
 
-    Scale shape: span generation is one codegen explode (split once,
-    slice per span — never a token-level explode), hashed to 8-byte
-    keys BEFORE any shuffle, distinct per (doc, hash). Two
-    aggregations follow: span frequency (map-side combinable; its
-    cardinality is |distinct spans| and each doc contributes a span
-    at most once, bounding hot-span skew) and the per-doc rollup.
+    Scale shape: tokens are MATERIALIZED once per row before the
+    explode (HOF lambdas run interpreted — re-splitting inside the
+    lambda would tokenize O(spans) times per doc, the shingles()
+    lesson above), spans hash to 8-byte keys BEFORE any shuffle,
+    distinct per (doc, hash). The per-hash doc count is a window over
+    the distinct (doc, hash) rows — ONE computation of the span
+    subtree and one shuffle on h (a groupBy + self-join would re-run
+    the whole scan/explode/distinct subtree twice); each doc
+    contributes a span at most once, bounding hot-span skew. NULL
+    text is treated as '' (one empty span — empty docs are duplicates
+    of each other), so every input doc gets an output row.
     hash_mode='portable' switches to the md5-derived 60-bit hash the
     DuckDB oracle replicates (same contract as minhash_signatures).
     """
-    spans = df.selectExpr(
-        f"{id_col} AS doc_id",
-        f"explode(transform("
-        f"sequence(0, CAST(ceil(size(split({text_col}, ' '))"
-        f" / {span_tokens}.0) AS INT) - 1), "
-        f"i -> array_join(slice(split({text_col}, ' '), "
-        f"i * {span_tokens} + 1, {span_tokens}), ' '))) AS span")
+    from pyspark.sql import Window
+
+    spans = (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+                  .alias("_tk"))
+        .selectExpr(
+            "doc_id",
+            f"explode(transform("
+            f"sequence(0, CAST(ceil(size(_tk) / {span_tokens}.0) AS INT)"
+            f" - 1), "
+            f"i -> array_join(slice(_tk, i * {span_tokens} + 1, "
+            f"{span_tokens}), ' '))) AS span")
+    )
     hs = spans.select(
         "doc_id", _hash64("span", hash_mode).alias("h")).distinct()
     # (doc, h) is distinct, so per-hash row count == distinct docs
-    freq = hs.groupBy("h").agg(F.count("*").alias("nd"))
+    nd = hs.withColumn("nd", F.count("*").over(Window.partitionBy("h")))
     return (
-        hs.join(freq, "h")
-        .groupBy("doc_id")
+        nd.groupBy("doc_id")
         .agg(F.count("*").alias("n_spans"),
              F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
              .alias("n_shared"))

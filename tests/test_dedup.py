@@ -325,3 +325,15 @@ def test_span_dup_stats_hash_modes_agree(spark):
     b = sorted(map(tuple, dedup.span_dup_stats(
         docs, span_tokens=2, hash_mode="portable").collect()))
     assert a == b
+
+
+def test_span_dup_stats_null_text_kept(spark):
+    """NULL text coalesces to '' (one empty span): the doc stays in
+    the output instead of silently vanishing from the stats."""
+    docs = spark.createDataFrame(
+        [(0, None), (1, None), (2, "a b c")],
+        "doc_id BIGINT, text STRING")
+    got = {r.doc_id: (r.n_spans, r.n_shared)
+           for r in dedup.span_dup_stats(docs, span_tokens=3).collect()}
+    # the two empty docs are duplicates OF EACH OTHER
+    assert got == {0: (1, 1), 1: (1, 1), 2: (1, 0)}

@@ -216,6 +216,15 @@ def write_baseline_md(n_pages: int) -> None:
               "regenerated", file=sys.stderr)
         return
     latest = runs[-1]
+    if latest["engine_efficiency_vs_ceiling"] > 1.0:
+        ceiling_note = ("\n  NB: a ratio above 1.0 is not a real "
+                        "efficiency — it means the pure-CPU ceiling probe "
+                        "landed in a worse host-steal window than the Spark "
+                        "runs it brackets (the VM is bursty); read the RAW "
+                        "number as the evidence and the ratio only as "
+                        "context.")
+    else:
+        ceiling_note = "\n  This ratio is what transfers to real hardware."
     rows = "\n".join(
         f"| {r.get('label', r.get('ts', '?'))} | {r['n_executors']['pages_per_sec']:,.0f} "
         f"| {r['four_n_executors']['pages_per_sec']:,.0f} "
@@ -255,8 +264,7 @@ count. Warm twice, best-of-2 steady state, best-of-2 JVMs per config.
   the machine's, not the engine's, on this particular run.
 - **Engine efficiency relative to the hardware ceiling:
   {latest['engine_efficiency_vs_ceiling']}** (target >= 0.8:
-  {"PASS" if latest['pass_vs_ceiling'] else "FAIL"}) — this ratio is
-  what transfers to real hardware.
+  {"PASS" if latest['pass_vs_ceiling'] else "FAIL"}).{ceiling_note}
 
 ## All recorded runs (honest record; this VM's ceiling is bursty)
 
