@@ -1802,18 +1802,22 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 hash_mode="portable")
 
 
-def q_span_dedup_sql() -> str:
+def _span_dedup_oracle_sql(span_tokens: int, stride: int) -> str:
+    """Shared DuckDB oracle for span_dup_stats at any (span, stride):
+    spans start every ``stride`` tokens and run ``span_tokens`` long
+    (DuckDB list slicing clamps at the array end exactly like Spark's
+    slice())."""
     from rsgislib_spark.operators.dedup import portable_hash_duckdb
 
     return f"""
 WITH toks AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS tk
               FROM documents),
 idx AS (SELECT doc_id,
-        array_to_string(tk[i * {_SPAN_TOKENS} + 1 :
-                           i * {_SPAN_TOKENS} + {_SPAN_TOKENS}], ' ') AS span
+        array_to_string(tk[i * {stride} + 1 :
+                           i * {stride} + {span_tokens}], ' ') AS span
         FROM (SELECT doc_id, tk,
               UNNEST(generate_series(0,
-                CAST(ceil(len(tk) / {_SPAN_TOKENS}.0) AS INT) - 1)) AS i
+                CAST(ceil(len(tk) / {stride}.0) AS INT) - 1)) AS i
               FROM toks)),
 hs AS (SELECT DISTINCT doc_id, {portable_hash_duckdb('span')} AS h FROM idx),
 nd AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY h) AS nd FROM hs)
@@ -1823,6 +1827,39 @@ SELECT doc_id, COUNT(*) AS n_spans,
              / COUNT(*), 6) AS dup_frac
 FROM nd GROUP BY 1
 """
+
+
+def q_span_dedup_sql() -> str:
+    return _span_dedup_oracle_sql(_SPAN_TOKENS, _SPAN_TOKENS)
+
+
+# overlap gate: 4-token spans at stride 1 — spans start at EVERY
+# token offset, so any shared passage >= 4 tokens is caught at any
+# offset misalignment (the non-overlapping op misses passages
+# misaligned mod span_tokens; verdict r4 "what's missing" #2).
+# stride=1 is the only stride with an unconditional guarantee: two
+# emitted spans align only when passage start offsets agree mod
+# stride (see span_dup_stats docstring).
+_SPAN_OVL_TOKENS = 4
+_SPAN_OVL_STRIDE = 1
+
+
+def q_span_dedup_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap-robust span dedup: stride-1 spans (every token offset)
+    detect shared passages >= span_tokens regardless of token-offset
+    alignment between documents (Lee et al. 2022 ExactSubstr's
+    bounded-shuffle equivalent at fixed granularity — see
+    operators/dedup.py span_dup_stats docstring)."""
+    from rsgislib_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.span_dup_stats(docs, span_tokens=_SPAN_OVL_TOKENS,
+                                stride=_SPAN_OVL_STRIDE,
+                                hash_mode="portable")
+
+
+def q_span_dedup_overlap_sql() -> str:
+    return _span_dedup_oracle_sql(_SPAN_OVL_TOKENS, _SPAN_OVL_STRIDE)
 
 
 def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2409,108 +2446,23 @@ def q_dissolve_union_sql() -> str:
 # contract functions
 # ---------------------------------------------------------------------------
 
-# ORDER MATTERS: the driver gates the FIRST 50 entries. Risk-ranked —
-# new/complex families (overlay, dedup/ANN, kNN, sessionize) sit inside
-# the window; long-stable trivial projections/filters (green in BOTH
-# r1+r2 driver gates and still bit-exact in the local gate,
-# tools/local_gate.py) are at the tail.
+# ORDER MATTERS: the driver gates the FIRST 50 entries. Round-5
+# window goal: every registry query driver-green within r4∪r5, so the
+# 26 queries whose last driver green predates r4 (plus every query
+# changed or added this round) fill the front, the r4-new family
+# stays in for a second consecutive green, and the remaining slots
+# hold the most complex r4-green machinery. Everything below the
+# boundary was driver-green in r4 in identical form and is untouched;
+# tools/query_fingerprints.py enforces that invariant mechanically.
 _REGISTRY: dict[str, tuple] = {
-    # ---- driver window (first 50) — risk-ranked for round 4 ----
-    # changed this round (events reader schema pin / oracle CAST /
-    # path-decision fixes) and the NEW lsh near-dup gate sit inside;
-    # r2-era tail stats rotate back in for re-verification; queries
-    # green in BOTH r2+r3 driver gates and untouched since rotate out.
-    # geospatial core (complex refine/join machinery — keep gated)
-    "spatial_join_within": (q_spatial_join_within, q_spatial_join_within_sql),
-    "spatial_join_arrow": (q_spatial_join_arrow, q_spatial_join_arrow_sql),
-    "spatial_join_left": (q_spatial_join_left, q_spatial_join_left_sql),
-    "spatial_join_big": (q_spatial_join_big, q_spatial_join_big_sql),
-    "count_pt_intersects": (q_count_pt_intersects, q_count_pt_intersects_sql),
-    "annotate_selection": (q_annotate_selection, q_annotate_selection_sql),
-    "zonal_stats": (q_zonal_stats, q_zonal_stats_sql),
-    "knn_kring": (q_knn_kring, q_knn_nearest_site_sql),
-    "knn_haversine": (q_knn_haversine, q_knn_haversine_sql),
-    # event analytics — sessionize carries this round's root-cause fix
-    # (HUGEINT oracle CAST + NTZ schema pin); event_deltas shares the
-    # reader, keep the pair gated together
-    "sessionize": (q_sessionize, q_sessionize_sql),
-    "event_deltas": (q_event_deltas, q_event_deltas_sql),
-    # events-reader queries touched by the NTZ schema pin
-    "rm_duplicates": (q_rm_duplicates, q_rm_duplicates_sql),
-    "count_per_value": (q_count_per_value, q_count_per_value_sql),
-    "trend_fit": (q_trend_fit, q_trend_fit_sql),
-    # webtext / training-data ops
-    "ngram_jaccard": (q_ngram_jaccard, q_ngram_jaccard_sql),
-    "neardup_groups": (q_neardup_groups, q_neardup_groups_sql),
-    "minhash_lsh": (q_minhash_lsh, q_minhash_lsh_sql),
-    "simhash_groups": (q_simhash_groups, q_simhash_groups_sql),
-    "simhash_near": (q_simhash_near, q_simhash_near_sql),
-    # NEW this round: decontamination + repetition quality filters,
-    # URL host rollup, PII scrubbing
-    "decontaminate": (q_decontaminate, q_decontaminate_sql),
-    "repetition_stats": (q_repetition_stats, q_repetition_stats_sql),
-    "url_host_rollup": (q_url_host_rollup, q_url_host_rollup_sql),
-    "pii_scrub": (q_pii_scrub, q_pii_scrub_sql),
-    "span_dedup": (q_span_dedup, q_span_dedup_sql),
-    "cosine_topk": (q_cosine_topk, q_cosine_topk_sql),
-    "cosine_neardup": (q_cosine_neardup, q_cosine_neardup_sql),
-    "cosine_lsh_neardup": (q_cosine_lsh_neardup, q_cosine_lsh_neardup_sql),
-    "ivf_topk": (q_ivf_topk, q_ivf_topk_sql),
-    "pages_pipeline": (q_pages_pipeline, q_pages_pipeline_sql),
-    # geometric overlay
-    "overlay_intersection": (q_overlay_intersection, q_overlay_intersection_sql),
-    "overlay_difference": (q_overlay_difference, q_overlay_difference_sql),
-    "dissolve_union": (q_dissolve_union, q_dissolve_union_sql),
-    "buffer_area": (q_buffer_area, q_buffer_area_sql),
-    # raster ops
-    "rasterize": (q_rasterize, q_rasterize_sql),
-    "point_extract": (q_point_extract, q_point_extract_sql),
-    "focal_mean": (q_focal_mean, q_focal_mean_sql),
-    "focal_conv": (q_focal_conv, q_focal_conv_sql),
-    "stack_percentiles": (q_stack_percentiles, q_stack_percentiles_sql),
-    "window_corr": (q_window_corr, q_window_corr_sql),
-    "dist_to_value": (q_dist_to_value, q_dist_to_value_sql),
-    "reproject_mercator": (q_reproject_mercator, q_reproject_mercator_sql),
-    "reproject_utm": (q_reproject_utm, q_reproject_utm_sql),
-    "attr_knn": (q_attr_knn, q_attr_knn_sql),
-    "clump": (q_clump, q_clump_sql),
-    "polygonize": (q_polygonize, q_polygonize_sql),
-    # r2-era tail stats rotating back in (last driver row was r2;
-    # re-verify post-refactor)
-    "emd": (q_emd, q_emd_sql),
-    "zonal_masked": (q_zonal_masked, q_zonal_masked_sql),
-    "range_lut_join": (q_range_lut_join, q_range_lut_join_sql),
-    "unq_numeric_col": (q_unq_numeric_col, q_unq_numeric_col_sql),
-    "mosaic": (q_mosaic, q_mosaic_sql),
-    # ---- driver window boundary (first 50 above) ----
-    # (cat_proportions also moved below for the NEW span_dedup gate —
-    # trivial single-join agg, driver-green in r1+r2, unchanged)
+    # ---- driver window (first 50) — round-5 rotation ----
+    # text_stats FIRST: its SQL changed post-gate in r4 (n_bpe_tokens)
+    # and changes again this round (lang-score projection)
+    "text_stats": (q_text_stats, q_text_stats_sql),
+    # last driver green r2/r3 — regate (verdict ask #1)
     "cat_proportions": (q_cat_proportions, q_cat_proportions_sql),
-    # (grid_histogram / band_percentile moved below the boundary to
-    # make room for the two NEW gated pipeline ops — both are simple
-    # single-table aggs, driver-green in r2, unchanged since, still
-    # in the local gate every round)
     "grid_histogram": (q_grid_histogram, q_grid_histogram_sql),
     "band_percentile": (q_band_percentile, q_band_percentile_sql),
-    # below: green in BOTH the r2 and r3 driver gates in identical
-    # form and untouched since; still checked every round by the
-    # local DuckDB gate (tools/compare_oracle.py)
-    # (img_correlation / mutual_info rotated out this round to make
-    # room for the two NEW gated queries — both green in r3,
-    # single-row aggregates, untouched since)
-    "img_correlation": (q_img_correlation, q_img_correlation_sql),
-    "mutual_info": (q_mutual_info, q_mutual_info_sql),
-    "tile_assign": (q_tile_assign, q_tile_assign_sql),
-    "cell_rollup": (q_cell_rollup, q_cell_rollup_sql),
-    "hex_assign": (q_hex_assign, q_hex_assign_sql),
-    "knn_nearest_site": (q_knn_nearest_site, q_knn_nearest_site_sql),
-    "radius_count": (q_radius_count, q_radius_count_sql),
-    "radius_count_m": (q_radius_count_m, q_radius_count_m_sql),
-    "text_stats": (q_text_stats, q_text_stats_sql),
-    "dedup_exact": (q_dedup_exact, q_dedup_exact_sql),
-    "doc_fingerprint": (q_doc_fingerprint, q_doc_fingerprint_sql),
-    "blob_meta": (q_blob_meta, q_blob_meta_sql),
-    "extract_text": (q_extract_text, q_extract_text_sql),
     "vector_maths": (q_vector_maths, q_vector_maths_sql),
     "subset_by_attribute": (q_subset_by_attribute, q_subset_by_attribute_sql),
     "drop_by_attribute": (q_drop_by_attribute, q_drop_by_attribute_sql),
@@ -2521,6 +2473,78 @@ _REGISTRY: dict[str, tuple] = {
     "create_name_col": (q_create_name_col, q_create_name_col_sql),
     "rollup_agg": (q_rollup_agg, q_rollup_agg_sql),
     "bbox_select": (q_bbox_select, q_bbox_select_sql),
+    "img_correlation": (q_img_correlation, q_img_correlation_sql),
+    "mutual_info": (q_mutual_info, q_mutual_info_sql),
+    "tile_assign": (q_tile_assign, q_tile_assign_sql),
+    "cell_rollup": (q_cell_rollup, q_cell_rollup_sql),
+    "hex_assign": (q_hex_assign, q_hex_assign_sql),
+    "knn_nearest_site": (q_knn_nearest_site, q_knn_nearest_site_sql),
+    "radius_count": (q_radius_count, q_radius_count_sql),
+    "radius_count_m": (q_radius_count_m, q_radius_count_m_sql),
+    "dedup_exact": (q_dedup_exact, q_dedup_exact_sql),
+    "doc_fingerprint": (q_doc_fingerprint, q_doc_fingerprint_sql),
+    "blob_meta": (q_blob_meta, q_blob_meta_sql),
+    "extract_text": (q_extract_text, q_extract_text_sql),
+    # NEW this round: overlap-robust span dedup (verdict ask #3)
+    "span_dedup_overlap": (q_span_dedup_overlap, q_span_dedup_overlap_sql),
+    # r4-new family — keep in for a second consecutive green;
+    # pii_scrub also CHANGES this round (phone + IPv6 breadth)
+    "sessionize": (q_sessionize, q_sessionize_sql),
+    "decontaminate": (q_decontaminate, q_decontaminate_sql),
+    "repetition_stats": (q_repetition_stats, q_repetition_stats_sql),
+    "url_host_rollup": (q_url_host_rollup, q_url_host_rollup_sql),
+    "pii_scrub": (q_pii_scrub, q_pii_scrub_sql),
+    "span_dedup": (q_span_dedup, q_span_dedup_sql),
+    "cosine_lsh_neardup": (q_cosine_lsh_neardup, q_cosine_lsh_neardup_sql),
+    # most complex r4-green machinery — keep gated
+    "spatial_join_within": (q_spatial_join_within, q_spatial_join_within_sql),
+    "spatial_join_arrow": (q_spatial_join_arrow, q_spatial_join_arrow_sql),
+    "spatial_join_left": (q_spatial_join_left, q_spatial_join_left_sql),
+    "spatial_join_big": (q_spatial_join_big, q_spatial_join_big_sql),
+    "zonal_stats": (q_zonal_stats, q_zonal_stats_sql),
+    "knn_kring": (q_knn_kring, q_knn_nearest_site_sql),
+    "knn_haversine": (q_knn_haversine, q_knn_haversine_sql),
+    "ngram_jaccard": (q_ngram_jaccard, q_ngram_jaccard_sql),
+    "neardup_groups": (q_neardup_groups, q_neardup_groups_sql),
+    "minhash_lsh": (q_minhash_lsh, q_minhash_lsh_sql),
+    "overlay_intersection": (q_overlay_intersection, q_overlay_intersection_sql),
+    "overlay_difference": (q_overlay_difference, q_overlay_difference_sql),
+    "clump": (q_clump, q_clump_sql),
+    "polygonize": (q_polygonize, q_polygonize_sql),
+    "attr_knn": (q_attr_knn, q_attr_knn_sql),
+    "ivf_topk": (q_ivf_topk, q_ivf_topk_sql),
+    # ---- driver window boundary (first 50 above) ----
+    # below: driver-green in r4 in identical form and untouched since;
+    # still checked every round by the local DuckDB gate
+    # (tools/compare_oracle.py) and fingerprint-locked by
+    # tools/query_fingerprints.py
+    "count_pt_intersects": (q_count_pt_intersects, q_count_pt_intersects_sql),
+    "annotate_selection": (q_annotate_selection, q_annotate_selection_sql),
+    "event_deltas": (q_event_deltas, q_event_deltas_sql),
+    "rm_duplicates": (q_rm_duplicates, q_rm_duplicates_sql),
+    "count_per_value": (q_count_per_value, q_count_per_value_sql),
+    "trend_fit": (q_trend_fit, q_trend_fit_sql),
+    "simhash_groups": (q_simhash_groups, q_simhash_groups_sql),
+    "simhash_near": (q_simhash_near, q_simhash_near_sql),
+    "cosine_topk": (q_cosine_topk, q_cosine_topk_sql),
+    "cosine_neardup": (q_cosine_neardup, q_cosine_neardup_sql),
+    "pages_pipeline": (q_pages_pipeline, q_pages_pipeline_sql),
+    "dissolve_union": (q_dissolve_union, q_dissolve_union_sql),
+    "buffer_area": (q_buffer_area, q_buffer_area_sql),
+    "rasterize": (q_rasterize, q_rasterize_sql),
+    "point_extract": (q_point_extract, q_point_extract_sql),
+    "focal_mean": (q_focal_mean, q_focal_mean_sql),
+    "focal_conv": (q_focal_conv, q_focal_conv_sql),
+    "stack_percentiles": (q_stack_percentiles, q_stack_percentiles_sql),
+    "window_corr": (q_window_corr, q_window_corr_sql),
+    "dist_to_value": (q_dist_to_value, q_dist_to_value_sql),
+    "reproject_mercator": (q_reproject_mercator, q_reproject_mercator_sql),
+    "reproject_utm": (q_reproject_utm, q_reproject_utm_sql),
+    "emd": (q_emd, q_emd_sql),
+    "zonal_masked": (q_zonal_masked, q_zonal_masked_sql),
+    "range_lut_join": (q_range_lut_join, q_range_lut_join_sql),
+    "unq_numeric_col": (q_unq_numeric_col, q_unq_numeric_col_sql),
+    "mosaic": (q_mosaic, q_mosaic_sql),
 }
 
 

@@ -494,14 +494,33 @@ def contamination_flags(corpus: DataFrame, eval_set: DataFrame,
 
 def span_dup_stats(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", span_tokens: int = 16,
-                   hash_mode: str = "xxhash64") -> DataFrame:
+                   hash_mode: str = "xxhash64",
+                   stride: int | None = None) -> DataFrame:
     """CROSS-document span-level dedup stats (the C4 / deduplicating-
-    training-data recipe): chunk each document into non-overlapping
-    ``span_tokens``-token spans, and per document report how many of
-    its distinct spans also occur in ANOTHER document — the signal
-    span-removal / doc-dropping policies act on. Complements the
-    doc-level family (exact/minhash/simhash) and the WITHIN-doc
-    repetition_stats.
+    training-data recipe): chunk each document into ``span_tokens``-
+    token spans starting every ``stride`` tokens, and per document
+    report how many of its distinct spans also occur in ANOTHER
+    document — the signal span-removal / doc-dropping policies act
+    on. Complements the doc-level family (exact/minhash/simhash) and
+    the WITHIN-doc repetition_stats.
+
+    ``stride`` defaults to ``span_tokens`` (non-overlapping chunks).
+    NOTE the non-overlapping default is offset-sensitive: two
+    documents sharing a long passage at token offsets misaligned mod
+    ``span_tokens`` produce DISJOINT span sets and the duplication is
+    invisible. More generally, two emitted spans align only when the
+    passage's start offsets agree mod ``stride`` — intermediate
+    strides (e.g. span/2) only raise the PROBABILITY of alignment.
+    ``stride=1`` removes the condition entirely: spans start at every
+    token offset (classic k-gram shingling), so ANY shared passage
+    >= span_tokens yields identical full windows in both documents —
+    guaranteed detection, the bounded-shuffle equivalent of the
+    suffix-array ExactSubstr recipe (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better") at the fixed
+    granularity span_tokens. Cost is n_tokens/stride span rows per
+    doc (each an 8-byte hash before any shuffle — the same row bill
+    as the minhash shingle explode), so stride=1 is ~span_tokens x
+    the default's row count.
 
     Returns (doc_id, n_spans, n_shared, dup_frac).
 
@@ -521,6 +540,10 @@ def span_dup_stats(df: DataFrame, id_col: str = "doc_id",
     """
     from pyspark.sql import Window
 
+    if stride is None:
+        stride = span_tokens
+    if not 1 <= stride <= span_tokens:
+        raise ValueError(f"stride must be in [1, span_tokens], got {stride}")
     spans = (
         df.select(F.col(id_col).alias("doc_id"),
                   F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
@@ -528,9 +551,9 @@ def span_dup_stats(df: DataFrame, id_col: str = "doc_id",
         .selectExpr(
             "doc_id",
             f"explode(transform("
-            f"sequence(0, CAST(ceil(size(_tk) / {span_tokens}.0) AS INT)"
+            f"sequence(0, CAST(ceil(size(_tk) / {stride}.0) AS INT)"
             f" - 1), "
-            f"i -> array_join(slice(_tk, i * {span_tokens} + 1, "
+            f"i -> array_join(slice(_tk, i * {stride} + 1, "
             f"{span_tokens}), ' '))) AS span")
     )
     hs = spans.select(

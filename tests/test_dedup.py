@@ -327,6 +327,55 @@ def test_span_dup_stats_hash_modes_agree(spark):
     assert a == b
 
 
+def test_span_dup_stats_overlap_catches_misaligned(spark):
+    """Two docs share a long passage at token offsets misaligned mod
+    span_tokens: the non-overlapping default produces DISJOINT span
+    sets (duplication invisible — the r4 known gap). Intermediate
+    strides only help when start offsets agree mod stride (stride=2
+    still misses this odd-vs-even pair); stride=1 emits a span at
+    every offset and is guaranteed for any shared passage >= span."""
+    passage = "p0 p1 p2 p3 p4 p5 p6 p7"          # 8 shared tokens
+    docs = spark.createDataFrame(
+        [(0, f"a0 a1 a2 a3 {passage} a4 a5"),     # passage at offset 4
+         (1, f"b0 {passage} b1 b2 b3")],          # passage at offset 1
+        "doc_id BIGINT, text STRING")
+    miss = {r.doc_id: r.n_shared for r in dedup.span_dup_stats(
+        docs, span_tokens=4).collect()}
+    assert miss == {0: 0, 1: 0}                   # invisible: misaligned mod 4
+    still = {r.doc_id: r.n_shared for r in dedup.span_dup_stats(
+        docs, span_tokens=4, stride=2).collect()}
+    assert still == {0: 0, 1: 0}                  # offsets differ mod 2
+    hit = {r.doc_id: r.n_shared for r in dedup.span_dup_stats(
+        docs, span_tokens=4, stride=1).collect()}
+    # every intra-passage window matches: 5 full spans ('p0..p3'..'p4..p7')
+    assert hit[0] >= 5 and hit[1] >= 5
+
+
+def test_span_dup_stats_stride_matches_bruteforce(spark):
+    """stride spans equal a brute-force python enumeration of
+    slice(i*stride, span) windows on a mixed corpus."""
+    rows = [(0, "a b c d e f g"), (1, "z a b c d e f g y"),
+            (2, "q r s"), (3, "")]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    span, stride = 4, 2
+
+    def spans(text):
+        tk = text.split(" ")
+        import math
+        return {" ".join(tk[i * stride: i * stride + span])
+                for i in range(math.ceil(len(tk) / stride))}
+
+    by_doc = {i: spans(t) for i, t in rows}
+    want = {}
+    for i, sp in by_doc.items():
+        shared = {s for s in sp
+                  if any(s in o for j, o in by_doc.items() if j != i)}
+        want[i] = (len(sp), len(shared))
+    got = {r.doc_id: (r.n_spans, r.n_shared) for r in dedup.span_dup_stats(
+        docs, span_tokens=span, stride=stride).collect()}
+    assert got == want
+
+
 def test_span_dup_stats_null_text_kept(spark):
     """NULL text coalesces to '' (one empty span): the doc stays in
     the output instead of silently vanishing from the stats."""

@@ -106,6 +106,15 @@ def main():
     if failures:
         print("FAILURES:", failures)
         sys.exit(1)
+    # the local gate also enforces the fingerprint drift rule: a gated
+    # query must never change outside the current driver window
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import query_fingerprints
+
+    if query_fingerprints.check() != 0:
+        sys.exit(1)
     print("all compared queries OK")
 
 

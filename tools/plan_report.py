@@ -313,6 +313,12 @@ def main():
         out += lines
     with open(os.path.join("/root/repo", "PLANS.md"), "w") as f:
         f.write("\n".join(out))
+    # fingerprint drift rule: a gated query changed outside the
+    # driver window fails the plan report (round-5 process fix)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import query_fingerprints
+
+    ok &= query_fingerprints.check() == 0
     print("PLANS.md written; all checks pass:", ok)
     sys.exit(0 if ok else 1)
 
