@@ -469,14 +469,20 @@ FROM pts LEFT JOIN pairs ON pts.pt_id = pairs.pt_id
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality scoring + language-ID over documents
-    (training-data pipeline ops; all codegen, no UDF)."""
+    (training-data pipeline ops; all codegen, no UDF). The 5 language
+    marker scores are PROJECTED ONCE and the argmax CASE compares
+    columns — ~4x fewer REPLACE text passes per row than inlining the
+    score into every pairwise comparison (r4 verdict nit #2); the
+    DuckDB oracle uses the same two-level shape."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.selectExpr(
+        "doc_id", "text", *T.lang_score_cols_sql("text")
+    ).selectExpr(
         "doc_id",
         T.token_count_sql("text") + " AS n_tokens",
         T.bpe_token_count_sql("text", "spark") + " AS n_bpe_tokens",
         "ROUND(" + T.quality_score_sql("text") + ", 6) AS quality",
-        T.lang_id_sql("text") + " AS lang_pred",
+        T.lang_id_from_cols_sql() + " AS lang_pred",
     )
 
 
@@ -486,7 +492,9 @@ def q_text_stats_sql() -> str:
         + T.token_count_sql("text") + " AS n_tokens, "
         + T.bpe_token_count_sql("text", "duckdb") + " AS n_bpe_tokens, "
         + "ROUND(" + T.quality_score_sql("text") + ", 6) AS quality, "
-        + T.lang_id_sql("text") + " AS lang_pred FROM documents"
+        + T.lang_id_from_cols_sql() + " AS lang_pred FROM "
+        + "(SELECT doc_id, text, "
+        + ", ".join(T.lang_score_cols_sql("text")) + " FROM documents)"
     )
 
 

@@ -49,14 +49,45 @@ def lang_score_sql(text: str, lang: str) -> str:
 
 def lang_id_sql(text: str) -> str:
     """argmax language by marker count, alphabetical tie-break —
-    shared SQL CASE chain (deterministic)."""
+    shared SQL CASE chain (deterministic).
+
+    NOTE each pairwise comparison inlines both score expressions
+    (~4x redundant REPLACE scans per row if the engine's CSE doesn't
+    collapse them). The scan-speed form is lang_score_cols_sql +
+    lang_id_from_cols_sql: project the 5 scores as named columns
+    once, compare columns in the CASE — identical semantics."""
     scores = {lg: lang_score_sql(text, lg) for lg in LANG_MARKERS}
+    return _argmax_case(scores)
+
+
+def _argmax_case(scores: dict[str, str]) -> str:
     ordered = sorted(LANG_MARKERS)  # alphabetical preference on ties
     whens = []
     for lg in ordered:
         others = [f"{scores[lg]} >= {scores[o]}" for o in ordered if o != lg]
         whens.append(f"WHEN {' AND '.join(others)} THEN '{lg}'")
     return "(CASE " + " ".join(whens) + " ELSE 'und' END)"
+
+
+def lang_score_cols_sql(text: str, prefix: str = "__lang_") -> list[str]:
+    """SELECT items projecting each language's marker score ONCE as a
+    named column (both engines): the scan-speed companion to
+    lang_id_from_cols_sql. Spark's CollapseProject keeps a projected
+    alias un-inlined when the outer plan references it more than once
+    (each score feeds 4 comparisons), so the 3-REPLACE score subtree
+    evaluates once per language instead of once per comparison —
+    ~4x fewer text passes per row at 100 TB. DuckDB evaluates
+    subquery projections once by construction."""
+    return [f"{lang_score_sql(text, lg)} AS {prefix}{lg}"
+            for lg in sorted(LANG_MARKERS)]
+
+
+def lang_id_from_cols_sql(prefix: str = "__lang_") -> str:
+    """argmax CASE over the projected score columns — identical
+    semantics (and tie-break) to lang_id_sql; NULL text propagates
+    NULL scores, every WHEN is non-true, and the ELSE yields 'und'
+    exactly as the inline form does."""
+    return _argmax_case({lg: f"{prefix}{lg}" for lg in LANG_MARKERS})
 
 
 def quality_score_sql(text: str) -> str:
