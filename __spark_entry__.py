@@ -2250,36 +2250,42 @@ def q_url_host_rollup_sql() -> str:
 
 
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrubbing (emails -> <EMAIL>, IPv4 -> <IP>) — standard
+    """PII scrubbing (emails -> <EMAIL>, full-form IPv6 -> <IPV6>,
+    IPv4 -> <IP>, +CC phone numbers -> <PHONE>) — standard
     pre-training hygiene. The fixture corpus carries no PII, so both
-    sides inject a deterministic contact line derived from
-    (doc_id, source) and the scrubber must redact it (plus any
-    incidental matches in the text body); the oracle verifies the
-    exact scrubbed bytes via md5 and the match counts. Redaction is
-    two regexp_replace passes per row — codegen, scan-speed at 100 TB
-    (functions/url.py documents the Java∩RE2 pattern subset and the
-    per-engine global-replace flag)."""
+    sides inject a deterministic contact line (one of each entity
+    type) derived from (doc_id, source) and the scrubber must redact
+    all four (plus any incidental matches in the text body); the
+    oracle verifies the exact scrubbed bytes via md5 and the
+    per-entity REPLACEMENT counts. The staged-subquery form projects
+    each scrub pass once per row — 8 regex passes, codegen,
+    scan-speed at 100 TB (functions/url.py documents the Java∩RE2
+    pattern subset and the per-engine global-replace flag)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     docs.createOrReplaceTempView("__docs_pii")
-    ex = U.pii_scrub_exprs(_PII_INJECT, "spark")
+    inner = U.pii_scrub_select_sql("__docs_pii", _PII_INJECT,
+                                   ["doc_id"], "spark")
     return spark.sql(
-        f"SELECT doc_id, {ex['n_emails']} AS n_emails, "
-        f"{ex['n_ips']} AS n_ips, md5({ex['scrubbed']}) AS scrub_md5 "
-        f"FROM __docs_pii")
+        f"SELECT doc_id, n_emails, n_ipv6, n_ips, n_phones, "
+        f"md5(scrubbed) AS scrub_md5 FROM ({inner})")
 
 
-# deterministic PII injection shared by the query and its oracle:
-# one email + one IPv4 per doc, both derived from (doc_id, source)
+# deterministic PII injection shared by the query and its oracle: one
+# email + one phone + one full-form IPv6 + one IPv4 per doc, all
+# derived from (doc_id, source)
 _PII_INJECT = ("concat('contact user', doc_id, '@mail-', source, "
-               "'.org from 10.', doc_id % 256, '.', (doc_id * 7) % 256, "
+               "'.org call +1-', 200 + doc_id % 700, '-', "
+               "200 + (doc_id * 3) % 700, '-', 1000 + doc_id % 9000, "
+               "' node 2001:db8:', doc_id % 9999, ':0:1:8a2e:370:7334 "
+               "from 10.', doc_id % 256, '.', (doc_id * 7) % 256, "
                "'.4 ', text)")
 
 
 def q_pii_scrub_sql() -> str:
-    ex = U.pii_scrub_exprs(_PII_INJECT, "duckdb")
-    return (f"SELECT doc_id, {ex['n_emails']} AS n_emails, "
-            f"{ex['n_ips']} AS n_ips, md5({ex['scrubbed']}) AS scrub_md5 "
-            f"FROM documents")
+    inner = U.pii_scrub_select_sql("documents", _PII_INJECT,
+                                   ["doc_id"], "duckdb")
+    return (f"SELECT doc_id, n_emails, n_ipv6, n_ips, n_phones, "
+            f"md5(scrubbed) AS scrub_md5 FROM ({inner})")
 
 
 # ---------------------------------------------------------------------------
