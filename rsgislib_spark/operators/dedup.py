@@ -359,14 +359,18 @@ def simhash_near_pairs(df: DataFrame, k: int = 3, id_col: str = "doc_id",
                         F.explode(F.array(*bands)).alias("bk"))
     l = buckets.selectExpr("doc_id AS a", "simhash AS ha", "bk")
     r = buckets.selectExpr("doc_id AS b", "simhash AS hb", "bk")
+    # verify BEFORE the distinct: bit_count is one codegen instruction
+    # per candidate, and filtering to hamming <= k first means the
+    # distinct's shuffle carries only near pairs (usually a tiny
+    # fraction of band-bucket candidates) instead of every candidate
     return (
         l.join(r, "bk")
         .where(F.col("a") < F.col("b"))
         .select("a", "b",
                 F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
                 .alias("hamming"))
-        .distinct()
         .where(F.col("hamming") <= k)
+        .distinct()
     )
 
 

@@ -147,10 +147,14 @@ def check_dim(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     wrapped in a filter cannot be pruned by the optimizer (the
     predicate is non-foldable), costs one size() per row, and keeps
     every valid row (assert_true returns NULL when the condition
-    holds)."""
+    holds). A NULL vector also aborts (size(NULL) is -1 with ANSI
+    off, so the predicate is non-true) — NULL embeddings are out of
+    contract for every fixed-dim kernel here; filter them out (or
+    impute) upstream before calling, as the error text says."""
     return df.where(F.assert_true(
         F.size(F.col(vec_col)) == dim,
-        f"{vec_col} length != dim={dim} — pass dim=<actual length> "
+        f"{vec_col} is NULL or its length != dim={dim} — drop/impute "
+        f"NULL vectors upstream and pass dim=<actual length> "
         f"(fixed-dim unrolled dot/norm would silently mis-score)",
     ).isNull())
 

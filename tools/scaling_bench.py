@@ -206,6 +206,7 @@ def write_baseline_md(n_pages: int) -> None:
                     r["raw_scaling_efficiency"], r["pass_raw"]
                     r["hardware_cpu_ceiling_8_to_32"]
                     r["engine_efficiency_vs_ceiling"]
+                    r["pass_vs_ceiling"]  # read unguarded in the template
                 except (ValueError, KeyError, TypeError):
                     print(f"skipping malformed runs.jsonl line: {ln[:80]!r}",
                           file=sys.stderr)
