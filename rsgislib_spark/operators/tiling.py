@@ -57,7 +57,8 @@ def hot_cells(df: DataFrame, cell_col: str, threshold_rows: int) -> DataFrame:
 def salt_hot_cells(df: DataFrame, cell_col: str = "cell",
                    threshold_rows: int = 1_000_000,
                    salt_buckets: int = 16,
-                   salted_col: str = "cell_salted") -> DataFrame:
+                   salted_col: str = "cell_salted",
+                   hot: DataFrame | None = None) -> DataFrame:
     """Salted repartition key for skewed cells: rows in hot cells get
     cell||salt (salt = deterministic hash bucket), cold cells keep
     salt 0, so downstream repartition/groupBy on the salted key splits
@@ -65,10 +66,25 @@ def salt_hot_cells(df: DataFrame, cell_col: str = "cell",
     merge pattern (partial agg on salted key, final agg on cell) is
     free because Spark's hash aggregates are already two-phase; the
     salt exists for JOIN and WRITE fan-out, where AQE's skew splitting
-    only covers sort-merge joins.
+    only covers sort-merge joins (and REBALANCE-origin exchanges).
+
+    ``hot``: optional precomputed hot-cell DataFrame (must contain
+    ``cell_col``). The inline default detects hot cells with a
+    groupBy count over ``df`` — which RE-EXECUTES df's upstream
+    pipeline when df isn't cached; at scale pass the known list
+    instead (catalog column stats, the previous run's tile manifest,
+    or a cheap sampled count), measured 2x on the write-back bench
+    (BENCH/skew_bench.md). NB for the plain cell-keyed WRITE-BACK
+    exchange specifically, prefer df.hint('rebalance', cell_col):
+    AQE splits oversized REBALANCE partitions natively (a
+    partitionBy(cell) write tolerates one cell across several files)
+    and wins both absolute time and N->4N scaling on that bench; the
+    salt is for shapes where the key must stay exact (equi-JOIN fan
+    out, strict one-task-per-tile kernels).
     """
-    hot = hot_cells(df, cell_col, threshold_rows).select(cell_col).withColumn(
-        "_hot", F.lit(True))
+    if hot is None:
+        hot = hot_cells(df, cell_col, threshold_rows)
+    hot = hot.select(cell_col).withColumn("_hot", F.lit(True))
     out = df.join(F.broadcast(hot), cell_col, "left")
     salt = F.when(
         F.col("_hot"),
@@ -85,14 +101,17 @@ def salt_hot_cells(df: DataFrame, cell_col: str = "cell",
 
 def repartition_by_cell(df: DataFrame, cell_col: str = "cell",
                         n_partitions: int | None = None,
-                        threshold_rows: int | None = None) -> DataFrame:
+                        threshold_rows: int | None = None,
+                        hot: DataFrame | None = None) -> DataFrame:
     """Co-locate rows by tile for per-tile work, salting hot cells
     first when a threshold is given (create_tiles + Pool fan-out,
-    executor edition)."""
+    executor edition). ``hot`` forwards a precomputed hot-cell list
+    to salt_hot_cells (see its docstring for when that matters)."""
     key = cell_col
     out = df
-    if threshold_rows is not None:
-        out = salt_hot_cells(df, cell_col, threshold_rows)
+    if threshold_rows is not None or hot is not None:
+        out = salt_hot_cells(df, cell_col, threshold_rows or 1_000_000,
+                             hot=hot)
         key = "cell_salted"
     return out.repartition(n_partitions, key) if n_partitions else out.repartition(key)
 

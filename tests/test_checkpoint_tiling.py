@@ -45,6 +45,20 @@ def test_salt_splits_hot_cells(assigned):
     assert max_after < max_before
 
 
+def test_salt_precomputed_hot_list_matches_inline(assigned):
+    """hot= (catalog-stat path, avoids re-executing the upstream
+    pipeline for detection) produces the identical salted keys as
+    inline detection at the same threshold."""
+    inline = tiling.salt_hot_cells(assigned, "cell_r5", threshold_rows=100)
+    hot = tiling.hot_cells(assigned, "cell_r5", 100).localCheckpoint()
+    pre = tiling.salt_hot_cells(assigned, "cell_r5", hot=hot)
+    a = sorted((r.url, r.cell_salted) for r in
+               inline.select("url", "cell_salted").collect())
+    b = sorted((r.url, r.cell_salted) for r in
+               pre.select("url", "cell_salted").collect())
+    assert a == b
+
+
 def test_halo_explode_contains_neighbours(spark):
     df = spark.createDataFrame([(quadcell.pack(5, 10, 10),)], "cell BIGINT")
     out = tiling.halo_explode(df, "cell", res=5, k=1).collect()

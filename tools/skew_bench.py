@@ -11,17 +11,21 @@ city cell holding ~30% of all rows, the unsalted exchange puts ~30%
 of the table in ONE task — adding executors then cannot shrink the
 straggler, which is exactly what the N->4N rule punishes.
 
-Three arms, identical job otherwise, at 2 and 8 executor JVMs
+Four arms, identical job otherwise, at 2 and 8 executor JVMs
 (local-cluster, addPyFile — the spark-submit --py-files path):
 
-  unsalted   repartition(cell)            — the straggler baseline
-  salted     repartition_by_cell(cell, threshold) — tiling.py's
-             salt_hot_cells splits hot cells across 16 buckets
-             (includes the hot-cell detection pass in its cost)
-  rebalance  REBALANCE(cell) hint         — AQE's built-in skew
-             splitting for this case (legal here because a
-             partitionBy(cell) write MAY split one cell across
-             files; AQE does NOT split a plain repartition(col))
+  unsalted       repartition(cell)        — the straggler baseline
+  salted         repartition_by_cell(cell, hot=<precomputed list>) —
+                 salt splits hot cells across 16 buckets; the hot
+                 list is what a catalog stat / previous manifest
+                 provides at scale
+  salted_inline  same, but hot cells detected inline — pays a full
+                 re-execution of the upstream pipeline per run (the
+                 honest cost of not knowing the skew ahead of time)
+  rebalance      REBALANCE(cell) hint     — AQE's built-in skew
+                 splitting for this case (legal here because a
+                 partitionBy(cell) write MAY split one cell across
+                 files; AQE does NOT split a plain repartition(col))
 
 Writes BENCH/skew_bench.md and prints one JSON line.
 Usage: python tools/skew_bench.py [n_rows]   (default 16M; run alone)
@@ -85,6 +89,14 @@ joined = sj.spatial_join(pts, idx, how="inner")
 if ARM == "unsalted":
     out = joined.repartition("cell_r7")
 elif ARM == "salted":
+    # hot list precomputed OUTSIDE the timed region (at scale this is
+    # a catalog stat / previous run's manifest — inline detection
+    # re-executes the whole upstream pipeline per run, see
+    # 'salted_inline'); localCheckpoint materializes it once
+    hot = tiling.hot_cells(joined, "cell_r7",
+                           {n_rows} // (NEXEC * 16)).localCheckpoint()
+    out = tiling.repartition_by_cell(joined, "cell_r7", hot=hot)
+elif ARM == "salted_inline":
     # threshold: anything over ~2 balanced partitions' worth is hot
     out = tiling.repartition_by_cell(
         joined, "cell_r7", threshold_rows={n_rows} // (NEXEC * 16))
@@ -94,8 +106,12 @@ else:
     raise SystemExit(f"bad arm {{ARM}}")
 
 def once():
+    # REAL sink work (parquet encode+compress) — with a noop sink the
+    # post-exchange cost is so small the straggler signal drowns in
+    # this VM's window noise; the write-back's per-row encode cost is
+    # what the hot task actually pays at scale
     t0 = time.time()
-    out.write.format("noop").mode("overwrite").save()
+    out.write.mode("overwrite").parquet("/tmp/skew_sink.parquet")
     return time.time() - t0
 
 once()  # warm (JIT, codegen, shuffle-file page cache)
@@ -139,12 +155,20 @@ def main() -> None:
             sys.exit(1)
         open(marker, "w").write("ok")
 
-    arms = ("unsalted", "salted", "rebalance")
-    res = {}
-    for arm in arms:           # 2-exec and 8-exec adjacent per arm so
-        for nexec in (2, 8):   # each arm's ratio shares one window
-            res[(arm, nexec)] = run(nexec, arm, n_rows, path, pkg_zip)
-            print(json.dumps(res[(arm, nexec)]), file=sys.stderr)
+    arms = ("unsalted", "salted", "salted_inline", "rebalance")
+    # two interleaved repetitions, 2-exec and 8-exec adjacent per arm:
+    # this VM's bursts last minutes and poison whole JVM runs, so each
+    # cell keeps its best-of-2 ACROSS repetitions (each JVM run is
+    # itself warm + best-of-2 inside)
+    res: dict = {}
+    for rep in range(2):
+        for arm in arms:
+            for nexec in (2, 8):
+                r = run(nexec, arm, n_rows, path, pkg_zip)
+                print(json.dumps(r), file=sys.stderr)
+                prev = res.get((arm, nexec))
+                if prev is None or r["sec"] < prev["sec"]:
+                    res[(arm, nexec)] = r
     eff = {arm: round((res[(arm, 8)]["rows_per_sec"]
                        / res[(arm, 2)]["rows_per_sec"]) / 4.0, 3)
            for arm in arms}
@@ -158,8 +182,9 @@ def main() -> None:
         f" run {ts}.",
         "Job: scan -> codegen cell assign -> flagship spatial join "
         "(broadcast + codegen refine, map-only, skew-immune) -> "
-        "cell-keyed exchange -> noop sink (the tile write-back minus "
-        "disk). local-cluster[2] vs [8], addPyFile.",
+        "cell-keyed exchange -> parquet sink (the tile write-back). "
+        "local-cluster[2] vs [8], addPyFile; best-of-2 interleaved "
+        "repetitions per cell.",
         "",
         "| arm | 8-core sec | 32-core sec | 8-core rows/s | 32-core "
         "rows/s | N->4N raw eff |",
@@ -173,13 +198,21 @@ def main() -> None:
     lines += [
         "",
         "Reading: the unsalted arm's 32-core time is floored by the one "
-        "task holding the hot cell (~30% of all rows), so its N->4N "
-        "efficiency collapses; salt_hot_cells (tiling.py) splits the "
-        "hot cell across 16 salted buckets and restores scaling, at "
-        "the cost of one extra counting pass. The REBALANCE hint is "
-        "AQE's built-in equivalent when downstream allows one cell to "
-        "split across files (a partitionBy write does); a plain "
-        "repartition(col) is NOT skew-split by AQE.",
+        "task holding the hot cell (~30% of input rows, a larger share "
+        "of joined rows), so its N->4N efficiency collapses. "
+        "salt_hot_cells splits the hot cell across 16 salted buckets; "
+        "'salted' uses a PRECOMPUTED hot list (what a catalog stat or "
+        "the previous run's manifest provides at scale), "
+        "'salted_inline' detects hot cells inline — which re-executes "
+        "the whole upstream pipeline for the detection pass and is the "
+        "honest cost of not knowing the skew ahead of time. The "
+        "REBALANCE hint is AQE's built-in skew splitting, legal for "
+        "this shape because a partitionBy(cell) write may split one "
+        "cell across files (a plain repartition(col) is NOT skew-split "
+        "by AQE); it needs no prior knowledge and no extra pass, so it "
+        "is the default recommendation for the write-back stage — the "
+        "salt remains for exact-key joins and strict one-task-per-tile "
+        "kernels (see salt_hot_cells docstring).",
     ]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "skew_bench.md"), "w") as f:
