@@ -166,12 +166,32 @@ def main() -> None:
                           r"\s*([0-9,.]+)", txt)
             if m:
                 sc["pages_per_sec_32c"] = float(m.group(1).replace(",", ""))
-        # all raw efficiencies from the two-run TABLE rows only (a
-        # bare bold-number findall would also match the ceiling bullet
-        # in the tool's regenerated single-run format)
-        raws = re.findall(r"\|\s*\*\*(0\.[0-9]+)\*\*\s*\|", txt)
+        # ALL raw efficiencies, passes AND misses — from the
+        # authoritative per-run log (BENCH/runs.jsonl). The previous
+        # regex on BASELINE.md matched only **bolded** table values,
+        # and only passing runs are bolded there, so the key silently
+        # dropped the sub-0.8 runs.
+        runs_log = os.path.join(os.path.dirname(baseline), "runs.jsonl")
+        raws = []
+        if os.path.exists(runs_log):
+            for line in open(runs_log):
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    raws.append(float(
+                        json.loads(line)["raw_scaling_efficiency"]))
+                except (ValueError, KeyError):
+                    pass
+        if not raws:
+            # fallback: BASELINE.md table rows, bold (pass) or plain
+            # (miss) — the raw-eff column is the one between the two
+            # pages/sec columns and the ceiling column
+            raws = [float(v) for v in re.findall(
+                r"\|\s*\*{0,2}(0\.[0-9]+)\*{0,2}\s*\|\s*0\.[0-9]+\s*\|",
+                txt)]
         if raws:
-            sc["raw_all_runs"] = [float(v) for v in raws]
+            sc["raw_all_runs"] = raws
         elif "raw" in sc:
             sc["raw_all_runs"] = [sc["raw"]]
         out["scaling_2x4_executors"] = sc
