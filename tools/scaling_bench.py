@@ -312,6 +312,21 @@ join → codegen ray-cast refine). No shuffle, no driver collect, and
 no Python processes in the hot path; the only cross-executor traffic
 is the broadcast of a ~KB polygon cover.
 
+## Task-granularity A/B (negative result, 2026-08-19)
+
+Hypothesis tested: default file packing gives this stage only 128
+scan tasks (2 x 54 MB files per task) = 4 waves at 32 cores, so a
+scheduling tail could explain part of the sub-1.0 raw efficiency.
+Measured at 8 executors on the same input, arms interleaved; the
+quiet-window pair (load ~0.1): default packing (128 tasks) 33.83 s
+vs ``maxPartitionBytes=64m`` (256 tasks, 1 file/task) 34.52 s — a
+wash within window noise (a busier earlier pair read 37.5 vs 45.5 s,
+noise-dominated). Conclusion: wave-tail granularity is NOT a loss
+source here; the engine tracks the host's CPU ceiling and the
+default packing stays. The 100 TB takeaway transfers directly:
+verify a stage has >= ~4 task waves per core group, but don't go
+finer once it does — per-task overhead cancels the tail gain.
+
 Reproduce: ``python tools/scaling_bench.py {n_pages}``
 (~25 min: generation + warm + best-of-2 at both sizes; run NOTHING
 else concurrently — a single co-running job visibly poisons the
