@@ -158,6 +158,25 @@ def main():
     # meant to contextualize (observed 0.877 pre-launch vs 0.765
     # recorded on 2026-08-19); record both ends and use the mean.
     ceiling_pre = cpu_ceiling(8, 32)
+    # Opt-in pre-flight gate (SCALING_WAIT_QUIET=<threshold>): this
+    # host's contention windows last longer than a full run, so a run
+    # launched into a low-ceiling window is ~50 min spent measuring
+    # the hypervisor, not the engine.  The gate re-probes every 5 min
+    # until the ceiling clears the threshold (or SCALING_WAIT_MAX_S,
+    # default 2 h, elapses — then it runs anyway).  It only chooses
+    # WHEN to start; once started, the result is recorded
+    # unconditionally like every other run, pass or miss.
+    wait_thresh = float(os.environ.get("SCALING_WAIT_QUIET", "0"))
+    wait_max = float(os.environ.get("SCALING_WAIT_MAX_S", "7200"))
+    if wait_thresh > 0:
+        t_gate = time.time()
+        while ceiling_pre < wait_thresh and time.time() - t_gate < wait_max:
+            sys.stderr.write(
+                f"pre-flight ceiling {ceiling_pre:.3f} < {wait_thresh}; "
+                "re-probing in 300s\n")
+            sys.stderr.flush()
+            time.sleep(300)
+            ceiling_pre = cpu_ceiling(8, 32)
     r2 = r8 = None
     for _ in range(reps):
         a = run(2, n_pages, path, pkg_zip)
