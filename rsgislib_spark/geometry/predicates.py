@@ -53,7 +53,10 @@ def point_in_rings(px: np.ndarray, py: np.ndarray, rings: list) -> np.ndarray:
             x1, y1 = ring[s:e, 0], ring[s:e, 1]
             x2, y2 = ring[s + 1:e + 1, 0], ring[s + 1:e + 1, 1]
             cond = (y1 > pyb) != (y2 > pyb)
-            with np.errstate(divide="ignore", invalid="ignore"):
+            # over: a near-horizontal edge's intercept can overflow to
+            # +/-inf; pxb < inf is the correct limit (crossing counted)
+            with np.errstate(divide="ignore", invalid="ignore",
+                             over="ignore"):
                 xs = (x2 - x1) * (pyb - y1) / (y2 - y1) + x1
             crossings += np.sum(cond & (pxb < xs), axis=1)
     return (crossings % 2) == 1
