@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 
 from rsgislib_spark.cells import quadcell, s2cell
 from rsgislib_spark.data import derived, fixtures
+from rsgislib_spark.session import spread_scan
 from rsgislib_spark.functions import text as T
 from rsgislib_spark.functions import url as U
 from rsgislib_spark.operators import knn as knn_ops
@@ -250,8 +251,11 @@ def q_spatial_join_big(spark: SparkSession, sf_dir: str) -> DataFrame:
     refine, rings arriving with the candidate batch. Nothing is ever
     collected; a 10M-parcel layer runs the same plan."""
     pts = _points(spark, sf_dir)
+    # slim output: this projection discards everything the payload
+    # join would attach, so skip the join entirely
     return sj.spatial_join_df(pts, _diamond_layer(spark), how="inner",
-                              pt_id_col="pt_id").select("pt_id", "poly_id")
+                              pt_id_col="pt_id",
+                              with_payload=False).select("pt_id", "poly_id")
 
 
 def q_spatial_join_big_sql() -> str:
@@ -474,7 +478,10 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns — ~4x fewer REPLACE text passes per row than inlining the
     score into every pairwise comparison (r4 verdict nit #2); the
     DuckDB oracle uses the same two-level shape."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread_scan: the marker-REPLACE passes are the whole cost and
+    # run in the scan stage — single-core on a one-row-group file
+    docs = spread_scan(spark.read.parquet(f"{sf_dir}/documents.parquet")
+                       .select("doc_id", "text"))
     return docs.selectExpr(
         "doc_id", "text", *T.lang_score_cols_sql("text")
     ).selectExpr(
@@ -895,7 +902,10 @@ def q_knn_kring(spark: SparkSession, sf_dir: str) -> DataFrame:
     star: 'kNN via iterative H3 k-ring expansion'). Same oracle as
     the broadcast path — both must agree with the cross-join truth."""
     pts = _points(spark, sf_dir)
-    out = knn_ops.knn_kring(pts, derived.sites_df(spark))  # auto res
+    # pt_id is the natural unique key (no temp-id checkpoint), and the
+    # slim output skips the payload join this projection would discard
+    out = knn_ops.knn_kring(pts, derived.sites_df(spark),  # auto res
+                            pt_id_col="pt_id", with_payload=False)
     return out.select("pt_id", "nn_site_id", "nn_dist_sq")
 
 
@@ -2261,7 +2271,10 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     each scrub pass once per row — 8 regex passes, codegen,
     scan-speed at 100 TB (functions/url.py documents the Java∩RE2
     pattern subset and the per-engine global-replace flag)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread_scan: 8 regex passes per row, all in the scan stage —
+    # single-core on a one-row-group file without the respread
+    docs = spread_scan(spark.read.parquet(f"{sf_dir}/documents.parquet")
+                       .select("doc_id", "source", "text"))
     docs.createOrReplaceTempView("__docs_pii")
     inner = U.pii_scrub_select_sql("__docs_pii", _PII_INJECT,
                                    ["doc_id"], "spark")

@@ -80,11 +80,18 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     array_join(slice(...), " ") exactly: split() never yields NULLs,
     and both keep empty strings.
     """
+    from ..session import spread_scan
+
     gram = "concat_ws(' ', " + ", ".join(
         f"_toks[i + {j}]" for j in range(n)) + ")"
     return (
-        df.select(F.col(id_col).alias("doc_id"),
-                  F.split(F.col(text_col), " ").alias("_toks"))
+        # spread_scan: the tokenize/explode/distinct chain is the
+        # expensive narrow stage of every shingle consumer (minhash
+        # signatures, jaccard pairs, decontamination) — a single-row-
+        # group corpus file would otherwise run it all on one core
+        spread_scan(df.select(F.col(id_col).alias("doc_id"),
+                              F.col(text_col).alias("_text")))
+        .select("doc_id", F.split("_text", " ").alias("_toks"))
         .where(F.size("_toks") >= n)
         .select("doc_id", F.explode(F.array_distinct(F.expr(
             f"transform(sequence(0, size(_toks) - {n}), i -> {gram})"
@@ -127,6 +134,101 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
         .agg(F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
     )
     return stats.join(capped, "h")
+
+
+# Exact mode (max_df=None) switches from the shingle self-join to the
+# distributed inverted-index kernel below this many documents. The
+# bound keeps the broadcast index small (~60 MB at the cap for
+# ~50-shingle docs) and the per-task bincount O(N) per doc; past it
+# the self-join fallback (spill-backed, no broadcast) takes over.
+_EXACT_KERNEL_MAX_DOCS = 250_000
+
+
+def _exact_pairs_blocked(sh: DataFrame, threshold: float) -> DataFrame:
+    """Distributed inverted-index kernel for EXACT all-pairs jaccard.
+
+    The shingle self-join computes |A ∩ B| by materializing one Spark
+    row per (pair, shared shingle) — sum over shingles of C(df, 2)
+    rows through an exchange and a hash aggregate. On corpora whose
+    shingle vocabulary is uniformly hot (no rare shingles for the
+    planner or a prefix filter to exploit) that fan-out is quadratic
+    in corpus size while the qualifying output stays tiny. This
+    kernel does the identical counting in native code (guide §4.2):
+
+    - driver builds a CSR doc->shingle index and its inverted
+      postings from ONE bounded pull of the (doc_id, sh_h) table
+      (gated by _EXACT_KERNEL_MAX_DOCS — same count-gated pattern as
+      near_dup_groups' driver closure), broadcasts ~16 bytes/row;
+    - tasks take disjoint doc blocks; per doc, one np.concatenate of
+      its shingles' postings + one np.bincount gives |A ∩ B| against
+      every other doc — the same multiset count the self-join
+      produces (hash-collision multiplicity included: rows are NOT
+      deduplicated, mirroring the join semantics exactly);
+    - jaccard = n / (sza + szb - n) as int64->float64 division —
+      bit-identical to Spark's long->double cast + double division.
+
+    Only pairs with jaccard >= threshold ever become Spark rows, so
+    the exchange carries the answer, not the fan-out.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = sh.sparkSession
+    pdf = sh.toPandas()
+    if len(pdf) == 0:
+        return spark.createDataFrame([], "a BIGINT, b BIGINT, jaccard DOUBLE")
+    doc_ids, doc_inv = np.unique(pdf["doc_id"].to_numpy(np.int64),
+                                 return_inverse=True)
+    _, h_inv = np.unique(pdf["sh_h"].to_numpy(np.int64), return_inverse=True)
+    N = len(doc_ids)
+    V = int(h_inv.max()) + 1
+    order = np.argsort(doc_inv, kind="stable")
+    dh = h_inv[order].astype(np.int64)
+    doc_off = np.searchsorted(doc_inv[order], np.arange(N + 1))
+    sz = np.diff(doc_off).astype(np.int64)
+    porder = np.argsort(h_inv, kind="stable")
+    post_docs = doc_inv[porder].astype(np.int64)
+    post_off = np.searchsorted(h_inv[porder], np.arange(V + 1))
+    bc = spark.sparkContext.broadcast(
+        (doc_ids, sz, doc_off, dh, post_off, post_docs))
+    n_blocks = max(1, min(N, spark.sparkContext.defaultParallelism * 4))
+    step = -(-N // n_blocks)
+    thr = float(threshold)
+
+    def gen(batches):
+        b_ids, b_sz, b_doff, b_dh, b_poff, b_pdocs = bc.value
+        for bdf in batches:
+            for blk in bdf["id"].to_numpy():
+                lo = int(blk) * step
+                hi = min(N, lo + step)
+                oa, ob, oj = [], [], []
+                for ia in range(lo, hi):
+                    hs = b_dh[b_doff[ia]:b_doff[ia + 1]]
+                    if hs.size == 0:
+                        continue
+                    cand = np.concatenate(
+                        [b_pdocs[b_poff[v]:b_poff[v + 1]] for v in hs])
+                    cnt = np.bincount(cand, minlength=N)
+                    cnt[:ia + 1] = 0  # a < b: count only larger ids
+                    nz = np.flatnonzero(cnt)
+                    if nz.size == 0:
+                        continue
+                    nc = cnt[nz]
+                    jac = nc / (b_sz[ia] + b_sz[nz] - nc)
+                    keep = jac >= thr
+                    if not keep.any():
+                        continue
+                    kb = nz[keep]
+                    oa.append(np.full(kb.size, b_ids[ia]))
+                    ob.append(b_ids[kb])
+                    oj.append(jac[keep])
+                if oa:
+                    yield pd.DataFrame({"a": np.concatenate(oa),
+                                        "b": np.concatenate(ob),
+                                        "jaccard": np.concatenate(oj)})
+
+    blocks = spark.range(n_blocks).repartition(n_blocks)
+    return blocks.mapInPandas(gen, "a BIGINT, b BIGINT, jaccard DOUBLE")
 
 
 def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
@@ -184,8 +286,23 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
             .groupBy("p.a", "p.b").agg(F.count("*").alias("n_common"))
         )
     else:
-        # unbounded buckets (oracle-parity mode): keep the self-join,
-        # whose fan-out Spark spills instead of an agg buffer
+        # exact mode: the self-join's (pair, shared shingle) fan-out
+        # is quadratic per shingle bucket with no max_df cap to bound
+        # it. Below _EXACT_KERNEL_MAX_DOCS (count-gated, integer ids)
+        # the distributed inverted-index kernel computes the identical
+        # counts in native code without ever shuffling the fan-out;
+        # past the gate the self-join fallback (spill-backed) remains
+        # the only exact option.
+        from pyspark.sql.types import LongType
+
+        # LongType only: the kernel emits BIGINT ids — any other id
+        # type would change the output schema vs the join path
+        id_ok = isinstance(df.schema[id_col].dataType, LongType)
+        if id_ok and df.count() <= _EXACT_KERNEL_MAX_DOCS:
+            return _exact_pairs_blocked(sh, threshold)
+        # unbounded buckets (oracle-parity fallback): keep the
+        # self-join, whose fan-out Spark spills instead of an agg
+        # buffer
         a = sh.select(F.col("doc_id").alias("a"), "sh_h")
         b = sh.select(F.col("doc_id").alias("b"), "sh_h")
         inter = (
@@ -308,9 +425,14 @@ def simhash64(df: DataFrame, id_col: str = "doc_id",
     hash_mode="portable": md5-derived 60-bit token hash (bits 60-63
     then always vote -1 — a 60-bit fingerprint) so the DuckDB oracle
     can replicate the fingerprint bit-for-bit."""
+    from ..session import spread_scan
+
     toks = (
-        df.select(F.col(id_col).alias("doc_id"),
-                  F.explode(F.split(text_col, " ")).alias("tok"))
+        # spread_scan: the token explode + 64 partial bit-vote sums
+        # run in the scan stage — single-core on a one-row-group file
+        spread_scan(df.select(F.col(id_col).alias("doc_id"),
+                              F.col(text_col).alias("_text")))
+        .select("doc_id", F.explode(F.split("_text", " ")).alias("tok"))
         .where(F.length("tok") > 0)
         .withColumn("hv", _hash64("tok", hash_mode))
     )
@@ -548,10 +670,17 @@ def span_dup_stats(df: DataFrame, id_col: str = "doc_id",
         stride = span_tokens
     if not 1 <= stride <= span_tokens:
         raise ValueError(f"stride must be in [1, span_tokens], got {stride}")
+    from ..session import spread_scan
+
     spans = (
-        df.select(F.col(id_col).alias("doc_id"),
-                  F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
-                  .alias("_tk"))
+        # spread_scan: span assembly (array_join per offset) and the
+        # portable-hash projection are the heavy narrow stages; a
+        # one-row-group corpus would run them on one core
+        spread_scan(df.select(F.col(id_col).alias("doc_id"),
+                              F.col(text_col).alias("_text")))
+        .select("doc_id",
+                F.split(F.coalesce(F.col("_text"), F.lit("")), " ")
+                .alias("_tk"))
         .selectExpr(
             "doc_id",
             f"explode(transform("
@@ -593,11 +722,18 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
                         n_tokens (ties resolved by the count alone —
                         only the max count matters)
     """
+    from ..session import spread_scan
+
     gram = "concat_ws(' ', " + ", ".join(
         f"_toks[i + {j}]" for j in range(n)) + ")"
     return (
-        df.select(F.col(id_col).alias("doc_id"),
-                  F.split(F.col(text_col), " ").alias("_toks"))
+        # spread_scan: the n-gram/array_sort/aggregate projections are
+        # interpreted higher-order functions — by far the heaviest
+        # per-row work here, all in the scan stage (no shuffle at all
+        # in this operator), so a one-row-group file serializes it
+        spread_scan(df.select(F.col(id_col).alias("doc_id"),
+                              F.col(text_col).alias("_text")))
+        .select("doc_id", F.split("_text", " ").alias("_toks"))
         .selectExpr(
             "doc_id",
             "size(_toks) AS n_tokens",

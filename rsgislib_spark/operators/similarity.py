@@ -251,6 +251,12 @@ def hyperplane_signature(df: DataFrame, n_bits: int = 16, dim: int = 64,
     broadcast as literals — a few KB)."""
     planes = hyperplanes(n_bits, dim, seed)
     df = check_dim(df, vec_col, dim)
+    from ..session import spread_scan
+
+    # spread either tier: the n_bits*dim dot work per row is the
+    # operator's whole cost and runs in the scan stage — a one-row-
+    # group embeddings file would put it all on a single core
+    df = spread_scan(df)
     if n_bits * dim <= _CODEGEN_MAX_TERMS:
         bits = None
         for i in range(n_bits):
@@ -265,6 +271,68 @@ def hyperplane_signature(df: DataFrame, n_bits: int = 16, dim: int = 64,
     return tagged.select(F.col(id_col).alias("vec_id"), pack.alias("sig"))
 
 
+# Candidate-verify switches from the per-pair join to the broadcast
+# numpy kernel below this many corpus vectors (~128 MB of float64 at
+# dim 64). Same count-gated pattern as dedup._EXACT_KERNEL_MAX_DOCS.
+_VERIFY_KERNEL_MAX_VECS = 250_000
+
+
+def _verify_cosine_kernel(df: DataFrame, cand: DataFrame, threshold: float,
+                          id_col: str, vec_col: str, dim: int) -> DataFrame:
+    """Exact-cosine verification of candidate pairs via ONE broadcast
+    of the (ids, vectors, norms) arrays and a mapInPandas fold kernel.
+
+    Why not the obvious cand ⋈ vecs ⋈ vecs + codegen dot: the
+    optimizer pushes the `score >= threshold` predicate INTO the
+    second broadcast join's condition, so the 64-term dot expression
+    is evaluated once as a non-equi join condition and AGAIN in the
+    output projection — measured 15.3 s for 3.8M candidates at sf1.0
+    vs ~1 s here. The kernel accumulates each dot and each norm in
+    the SAME left-fold element order as dot_cols/norm_col (acc =
+    ((0.0 + e0*c0) + e1*c1) + ...), so every score is bit-identical
+    to the join path and to the gated DuckDB oracle; rounding stays
+    in Spark (F.round's HALF_UP differs from numpy's rounding).
+
+    Bounded: callers gate on _VERIFY_KERNEL_MAX_VECS; above it the
+    per-pair join (which never materializes the corpus anywhere)
+    remains the scale path.
+    """
+    spark = df.sparkSession
+    pdf = df.select(F.col(id_col).alias("_id"),
+                    F.col(vec_col).alias("_v")).toPandas()
+    if len(pdf) == 0:
+        return spark.createDataFrame([], "a BIGINT, b BIGINT, score DOUBLE")
+    ids = pdf["_id"].to_numpy(np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    E = np.vstack(pdf["_v"].to_numpy()[order]).astype(np.float64)
+    acc = np.zeros(len(E))
+    for j in range(dim):
+        acc = acc + E[:, j] * E[:, j]
+    nrm = np.sqrt(acc)
+    bc = spark.sparkContext.broadcast((ids, E, nrm))
+    thr = float(threshold)
+
+    def gen(batches):
+        b_ids, b_E, b_n = bc.value
+        for p in batches:
+            a = p["a"].to_numpy(np.int64)
+            b = p["b"].to_numpy(np.int64)
+            ia = np.searchsorted(b_ids, a)
+            ib = np.searchsorted(b_ids, b)
+            A, B = b_E[ia], b_E[ib]
+            s = np.zeros(len(A))
+            for j in range(dim):
+                s = s + A[:, j] * B[:, j]
+            score = s / (b_n[ia] * b_n[ib])
+            keep = score >= thr
+            yield pd.DataFrame({"a": a[keep], "b": b[keep],
+                                "score": score[keep]})
+
+    out = cand.mapInPandas(gen, "a BIGINT, b BIGINT, score DOUBLE")
+    return out.select("a", "b", F.round("score", 6).alias("score"))
+
+
 def lsh_neardup_pairs(df: DataFrame, threshold: float = 0.95,
                       n_bits: int = 16, bands: int = 4, dim: int = 64,
                       id_col: str = "vec_id", vec_col: str = "embedding",
@@ -273,6 +341,8 @@ def lsh_neardup_pairs(df: DataFrame, threshold: float = 0.95,
     join), verify candidates with exact cosine. Precision 1 vs the
     brute-force oracle; recall follows the hyperplane collision
     curve."""
+    from pyspark.sql.types import LongType
+
     rows = n_bits // bands
     sig = hyperplane_signature(df, n_bits, dim, id_col, vec_col, seed)
     mask = (1 << rows) - 1
@@ -285,6 +355,10 @@ def lsh_neardup_pairs(df: DataFrame, threshold: float = 0.95,
     l = buckets.select(F.col("vec_id").alias("a"), "bk")
     r = buckets.select(F.col("vec_id").alias("b"), "bk")
     cand = l.join(r, "bk").where(F.col("a") < F.col("b")).select("a", "b").distinct()
+    id_ok = isinstance(df.schema[id_col].dataType, LongType)
+    if id_ok and df.count() <= _VERIFY_KERNEL_MAX_VECS:
+        return _verify_cosine_kernel(df, cand, threshold, id_col,
+                                     vec_col, dim)
     vecs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
                      norm_col(vec_col, dim).alias("_n"))
     out = (
@@ -446,11 +520,16 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
         n_centroids = len(centroids)
     elif n_centroids is None:
         n_centroids = auto_n_centroids(corpus.count())
+    from ..session import spread_scan
+
+    # spread the corpus before quantization: the O(|corpus| * k * dim)
+    # assignment is the expensive stage and would otherwise run on the
+    # scan's (possibly single-split) partitioning
     q = ivf_probe_cells(queries, n_probe, n_centroids, dim, vec_col,
                         centroids=centroids).select(
         F.col(q_id).alias("q"), F.col(vec_col).alias("qv"), "ivf_cell",
         norm_col(vec_col, dim).alias("qn"))
-    c = ivf_assign(corpus, n_centroids, dim, c_id, vec_col,
+    c = ivf_assign(spread_scan(corpus), n_centroids, dim, c_id, vec_col,
                    centroids=centroids).select(
         F.col(c_id).alias("c"), F.col(vec_col).alias("cv"), "ivf_cell",
         norm_col(vec_col, dim).alias("cn"))

@@ -387,7 +387,8 @@ def spatial_join_df(points: DataFrame, polys: DataFrame,
                     res: int | None = None, max_cells: int = 8,
                     id_col: str = "poly_id", geom_col: str = "geometry",
                     pt_id_col: str | None = None,
-                    salt: int = 8, refine_buckets: int = 64) -> DataFrame:
+                    salt: int = 8, refine_buckets: int = 64,
+                    with_payload: bool = True) -> DataFrame:
     """Spatial join against a polygon DataFrame TOO LARGE TO COLLECT —
     the DataFrame-native path the reference's sjoin implies for
     arbitrary-size layers (vectorattrs/__init__.py:1301-1303).
@@ -412,9 +413,18 @@ def spatial_join_df(points: DataFrame, polys: DataFrame,
 
     The distinct-res probe set comes from one tiny aggregation over
     the cover (≤ a dozen rows collected — a scalar, not the layer).
+
+    with_payload=False (inner join + natural pt_id_col only) returns
+    the slim (pt_id, poly_id) pair frame directly: for callers that
+    project exactly those columns, the payload join is a
+    row-preserving identity (every matched id comes from points and
+    the join key is unique there) and pure cost.
     """
     if how not in {"inner", "left", "right", "left_semi"}:
         raise ValueError(f"join_how must be inner/left/right/left_semi, got {how}")
+    if not with_payload and (how != "inner" or pt_id_col is None):
+        raise ValueError("with_payload=False requires how='inner' and a "
+                         "natural pt_id_col")
 
     temp_id = pt_id_col is None
     pt_id = pt_id_col if pt_id_col is not None else "__sj_pt_id"
@@ -430,7 +440,12 @@ def spatial_join_df(points: DataFrame, polys: DataFrame,
     cover = cover.persist()
     res_set = sorted(r[0] for r in cover.select("res").distinct().collect())
 
-    slim = points.select(pt_id, lon, lat)
+    from ..session import spread_scan
+
+    # spread the slim point side: the cell-assign/explode stage feeds
+    # the candidate shuffle, and a few-row-group source would write
+    # that whole shuffle from 1-2 tasks
+    slim = spread_scan(points.select(pt_id, lon, lat))
     if len(res_set) == 1:
         pts = slim.withColumn("cell", quadcell.cell_col(lon, lat, res_set[0]))
     else:
@@ -477,23 +492,37 @@ def spatial_join_df(points: DataFrame, polys: DataFrame,
             return empty
         wkb_by_id = dict(zip(poly_pdf["poly_id"].to_numpy(),
                              poly_pdf["_wkb"]))
-        outs = []
         # decode each polygon ONCE per group, ray-cast its candidate
-        # batch vectorized (same kernel as PolygonIndex.refine_udf)
-        for pid, grp in cand_pdf.groupby("poly_id", sort=False):
-            g = wkb_by_id.get(pid)
+        # batch vectorized (same kernel as PolygonIndex.refine_udf).
+        # Candidates are sliced as numpy RUNS of a sorted poly_id
+        # array — the previous pandas groupby/.loc/.copy per polygon
+        # cost ~1.3 ms of frame overhead per candidate polygon
+        # (measured 79 s CPU per pass on the 100k-diamond layer, vs
+        # ~3 s this way); the kept mask is one boolean array, and the
+        # output is assembled once.
+        pid_arr = cand_pdf["poly_id"].to_numpy(np.int64)
+        order = np.argsort(pid_arr, kind="stable")
+        pid_s = pid_arr[order]
+        x_all = cand_pdf[lon].to_numpy(dtype=np.float64)[order]
+        y_all = cand_pdf[lat].to_numpy(dtype=np.float64)[order]
+        ptid_s = cand_pdf[pt_id].to_numpy()[order]
+        bounds = np.flatnonzero(
+            np.r_[True, pid_s[1:] != pid_s[:-1], True])
+        keep = np.zeros(len(pid_s), dtype=bool)
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            g = wkb_by_id.get(pid_s[lo])
             if g is None:
                 continue
             rings = P.unwrap_antimeridian(wkb.wkb_to_rings(bytes(g)))
-            x = grp[lon].to_numpy(dtype=np.float64)
-            y = grp[lat].to_numpy(dtype=np.float64)
+            xs = x_all[lo:hi]
             if P.ring_bbox(rings)[2] > 180.0:
-                x = np.where(x < 0.0, x + 360.0, x)
-            m = P.point_in_rings(x, y, rings)
-            out = grp.loc[m, [pt_id]].copy()
-            out["poly_id"] = int(pid)
-            outs.append(out)
-        return pd.concat(outs, ignore_index=True) if outs else empty
+                xs = np.where(xs < 0.0, xs + 360.0, xs)
+            keep[lo:hi] = P.point_in_rings(xs, y_all[lo:hi], rings)
+        if not keep.any():
+            return empty
+        return pd.DataFrame({pt_id: ptid_s[keep],
+                             "poly_id": pid_s[keep]})
 
     pairs = (
         cand.groupBy("_bkt", "_salt")
@@ -501,6 +530,8 @@ def spatial_join_df(points: DataFrame, polys: DataFrame,
         .applyInPandas(refine, out_schema)
     )
 
+    if not with_payload:
+        return pairs
     if how == "inner":
         out = points.join(pairs, pt_id, "inner")
     elif how == "left":

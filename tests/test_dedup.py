@@ -113,6 +113,39 @@ def test_minhash_verify_never_runs_full_corpus_join(spark, monkeypatch):
     assert (1, 2) in pairs
 
 
+def test_ngram_exact_kernel_matches_join_path(spark):
+    """The exact-mode (max_df=None) inverted-index kernel must emit
+    the IDENTICAL pair set — ids and bit-exact jaccard doubles — as
+    the shingle self-join it replaces below the doc-count gate."""
+    import rsgislib_spark.operators.dedup as dd
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kern = {(r.a, r.b, r.jaccard) for r in
+            dd.ngram_jaccard_pairs(docs, 0.3, max_df=None).collect()}
+    old = dd._EXACT_KERNEL_MAX_DOCS
+    try:
+        dd._EXACT_KERNEL_MAX_DOCS = 0  # force the self-join fallback
+        join = {(r.a, r.b, r.jaccard) for r in
+                dd.ngram_jaccard_pairs(docs, 0.3, max_df=None).collect()}
+    finally:
+        dd._EXACT_KERNEL_MAX_DOCS = old
+    assert kern == join
+    assert len(kern) > 0
+
+
+def test_ngram_exact_kernel_string_ids_fall_back(spark):
+    """Non-integer id columns must take the join path (the kernel
+    emits BIGINT ids) and still produce correct pairs."""
+    docs = spark.createDataFrame(
+        [("x", "the quick brown fox jumps over the lazy dog today"),
+         ("y", "the quick brown fox jumps over the lazy dog today"),
+         ("z", "completely different text with no shared shingles here")],
+        "doc_id STRING, text STRING")
+    out = {(r.a, r.b, r.jaccard) for r in
+           dedup.ngram_jaccard_pairs(docs, 0.5, max_df=None).collect()}
+    assert out == {("x", "y", 1.0)}
+
+
 def test_simhash_near_pairs_matches_bruteforce(spark):
     import itertools
 

@@ -61,6 +61,17 @@ def test_knn_kring_matches_broadcast(spark, pts, brute):
     assert got == brute
 
 
+def test_knn_kring_slim_output_matches(spark, pts, brute):
+    """with_payload=False returns the same (id, nn_site_id,
+    nn_dist_sq) triples as the payload-joined form — the final inner
+    join is a row-preserving identity for id-only consumers."""
+    out = knn.knn_kring(pts, derived.sites_df(spark), res=4,
+                        pt_id_col="pt_id", with_payload=False)
+    assert set(out.columns) == {"pt_id", "nn_site_id", "nn_dist_sq"}
+    got = {r.pt_id: (r.nn_site_id, r.nn_dist_sq) for r in out.collect()}
+    assert got == brute
+
+
 def test_knn_max_dist_tolerance(spark, pts, brute):
     out = knn.knn_broadcast(pts, derived.sites_df(spark), max_dist=5.0).collect()
     got = {r.pt_id for r in out}

@@ -66,6 +66,25 @@ def test_lsh_neardup_precision(spark, emb, brute):
         assert S[ia, ib] >= 0.3 - 1e-9  # precision 1
 
 
+def test_lsh_verify_kernel_matches_join_path(spark, emb):
+    """The gated numpy verify kernel must emit the identical
+    (a, b, score) rows — bit-exact doubles — as the per-pair join
+    path it replaces below the vector-count gate."""
+    import rsgislib_spark.operators.similarity as sim
+
+    kern = {(r.a, r.b, r.score) for r in
+            sim.lsh_neardup_pairs(emb, threshold=0.3).collect()}
+    old = sim._VERIFY_KERNEL_MAX_VECS
+    try:
+        sim._VERIFY_KERNEL_MAX_VECS = 0  # force the join fallback
+        join = {(r.a, r.b, r.score) for r in
+                sim.lsh_neardup_pairs(emb, threshold=0.3).collect()}
+    finally:
+        sim._VERIFY_KERNEL_MAX_VECS = old
+    assert kern == join
+    assert len(kern) > 0
+
+
 def test_cosine_neardup_bruteforce(spark, emb, brute):
     ids, S = brute
     got = {(r.a, r.b) for r in

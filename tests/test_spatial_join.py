@@ -217,6 +217,19 @@ def test_spatial_join_df_matches_index_path(pts, polys_wkb_df, how):
         sorted(map(tuple, b.select(*cols).collect()), key=key)
 
 
+def test_spatial_join_df_slim_pairs_match(pts, polys_wkb_df):
+    """with_payload=False returns the same (id, poly_id) pairs as the
+    payload-joined inner form — the final join is a row-preserving
+    identity for id-only consumers."""
+    full = sj.spatial_join_df(pts, polys_wkb_df, how="inner",
+                              pt_id_col="url")
+    slim = sj.spatial_join_df(pts, polys_wkb_df, how="inner",
+                              pt_id_col="url", with_payload=False)
+    assert set(slim.columns) == {"url", "poly_id"}
+    assert sorted(map(tuple, full.select("url", "poly_id").collect())) == \
+        sorted(map(tuple, slim.collect()))
+
+
 def test_spatial_join_df_temp_id(pts, polys_wkb_df):
     """Without a natural key the temp monotonically-increasing id is
     materialized (localCheckpoint) and dropped from the output."""
