@@ -75,20 +75,32 @@ def apply_knn(apply_df: DataFrame, train_df: DataFrame, feat_cols: list,
         for pdf in batches:
             Q = pdf[feat_cols].to_numpy(dtype=np.float64)
             D = _dist_matrix(Q, X, mm, pp, vi)
-            out = np.empty(len(Q))
-            for i in range(len(Q)):
-                di = D[i]
-                idx = np.argsort(di, kind="stable")[:kk]
-                if cap is not None:
-                    idx = idx[di[idx] <= cap]
-                out[i] = _summarise(yv[idx], how) if len(idx) else np.nan
+            # ONE argsort over the whole batch (row-wise stable sort
+            # — identical selection to the previous per-row argsort
+            # loop, which cost ~30 µs/row of numpy-call overhead)
+            idx = np.argsort(D, axis=1, kind="stable")[:, :kk]
+            if cap is None and how == "mean":
+                # vectorized mean: np.add.reduce over the same k
+                # elements — same pairwise blocking as the 1-D
+                # np.mean per row, so bit-identical
+                out = yv[idx].mean(axis=1)
+            else:
+                out = np.empty(len(Q))
+                for i in range(len(Q)):
+                    ii = idx[i]
+                    if cap is not None:
+                        ii = ii[D[i, ii] <= cap]
+                    out[i] = _summarise(yv[ii], how) if len(ii) else np.nan
             res = pdf.copy()
             res[out_col] = out
             yield res
 
+    from ..session import spread_scan
+
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                        for f in apply_df.schema.fields)
-    return apply_df.mapInPandas(_apply, schema=schema + f", {out_col} DOUBLE")
+    return spread_scan(apply_df).mapInPandas(
+        _apply, schema=schema + f", {out_col} DOUBLE")
 
 
 def apply_knn_distributed(apply_df: DataFrame, train_df: DataFrame,

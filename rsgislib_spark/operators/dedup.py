@@ -177,17 +177,27 @@ def _exact_pairs_blocked(sh: DataFrame, threshold: float) -> DataFrame:
     pdf = sh.toPandas()
     if len(pdf) == 0:
         return spark.createDataFrame([], "a BIGINT, b BIGINT, jaccard DOUBLE")
-    doc_ids, doc_inv = np.unique(pdf["doc_id"].to_numpy(np.int64),
-                                 return_inverse=True)
-    _, h_inv = np.unique(pdf["sh_h"].to_numpy(np.int64), return_inverse=True)
+    # factorize (hash-based, no sort of the 10^6-row column) instead
+    # of np.unique for both code columns; only the ~N doc UNIQUES are
+    # sorted, so dense doc index order == ascending doc_id (the a < b
+    # contract). int32 codes: ~half the broadcast bytes and radix-
+    # sortable. Measured 2.9 s -> ~1 s for the sf1.0 build.
+    doc_codes, doc_uniq = pd.factorize(pdf["doc_id"], sort=False)
+    uorder = np.argsort(doc_uniq.to_numpy(np.int64), kind="stable")
+    rank = np.empty(len(uorder), dtype=np.int32)
+    rank[uorder] = np.arange(len(uorder), dtype=np.int32)
+    doc_inv = rank[doc_codes]
+    doc_ids = doc_uniq.to_numpy(np.int64)[uorder]
+    h_inv, _ = pd.factorize(pdf["sh_h"], sort=False)
+    h_inv = h_inv.astype(np.int32)
     N = len(doc_ids)
     V = int(h_inv.max()) + 1
-    order = np.argsort(doc_inv, kind="stable")
-    dh = h_inv[order].astype(np.int64)
+    order = np.argsort(doc_inv, kind="stable")  # radix on int32
+    dh = h_inv[order]
     doc_off = np.searchsorted(doc_inv[order], np.arange(N + 1))
     sz = np.diff(doc_off).astype(np.int64)
     porder = np.argsort(h_inv, kind="stable")
-    post_docs = doc_inv[porder].astype(np.int64)
+    post_docs = doc_inv[porder]
     post_off = np.searchsorted(h_inv[porder], np.arange(V + 1))
     bc = spark.sparkContext.broadcast(
         (doc_ids, sz, doc_off, dh, post_off, post_docs))
@@ -364,7 +374,16 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5,
     rows, collision risk 2^-64 and collisions are exact-verified
     anyway)."""
     rows = n_perm // bands
-    sig = minhash_signatures(df, n_perm, id_col, text_col, n, seed, hash_mode)
+    # NOTE the shingle explode is referenced by four subtrees here
+    # (signatures, sizes, both verify sides) and deliberately NOT
+    # persisted: measured at sf1.0, caching the 2.6M-row shingle
+    # table (80 MB columnar write + read barriers) costs more than
+    # the three recomputes of the spread, fully-parallel explode
+    # (3.8 s unpersisted vs 4.4-5.5 s with). Persist only pays for
+    # expensive-to-recompute subtrees (see lsh_neardup_pairs' Arrow
+    # signature pass).
+    sig = minhash_signatures(df, n_perm, id_col, text_col, n, seed,
+                             hash_mode)
     if hash_mode == "portable":
         band_cols = [
             F.struct(F.lit(bi).alias("band"),

@@ -351,14 +351,25 @@ def lsh_neardup_pairs(df: DataFrame, threshold: float = 0.95,
                  F.shiftright("sig", bi * rows).bitwiseAND(F.lit(mask)).alias("bh"))
         for bi in range(bands)
     ]
+    # persist the signature table: the band self-join would otherwise
+    # evaluate the signature computation (an Arrow UDF pass at
+    # n_bits*dim > _CODEGEN_MAX_TERMS) once per join side
+    sig = sig.persist()
     buckets = sig.select("vec_id", F.explode(F.array(*band_cols)).alias("bk"))
     l = buckets.select(F.col("vec_id").alias("a"), "bk")
     r = buckets.select(F.col("vec_id").alias("b"), "bk")
-    cand = l.join(r, "bk").where(F.col("a") < F.col("b")).select("a", "b").distinct()
+    cand = l.join(r, "bk").where(F.col("a") < F.col("b")).select("a", "b")
     id_ok = isinstance(df.schema[id_col].dataType, LongType)
     if id_ok and df.count() <= _VERIFY_KERNEL_MAX_VECS:
+        # verify FIRST, dedupe after: duplicate candidates (a pair
+        # colliding in several bands, ≤ `bands` copies) cost the
+        # kernel a few % extra fold work, while distinct-before-
+        # verify costs a full exchange + two hash aggregates over
+        # the multi-million-row candidate set. Duplicate pairs yield
+        # bit-identical rows, so distinct-after is the same set.
         return _verify_cosine_kernel(df, cand, threshold, id_col,
-                                     vec_col, dim)
+                                     vec_col, dim).distinct()
+    cand = cand.distinct()
     vecs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
                      norm_col(vec_col, dim).alias("_n"))
     out = (

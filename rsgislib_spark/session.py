@@ -14,6 +14,17 @@ import os
 from pyspark.sql import SparkSession
 
 DEFAULTS = {
+    # Whole-stage codegen whose generated method exceeds HotSpot's
+    # huge-method threshold (8000 bytecodes, -XX:DontCompileHugeMethods)
+    # never gets JIT-compiled and runs in the JVM INTERPRETER — measured
+    # 4x slower than the split-method non-fused path on this engine's
+    # unrolled fixed-dim dot/norm projections (64-term expressions over
+    # a broadcast nested-loop join: 2.8 s fused-but-interpreted vs
+    # 0.65 s split). Spark's default limit (65535) only rejects methods
+    # the JVM cannot LOAD; aligning it with what the JVM will actually
+    # JIT keeps every stage on compiled code. JVM-level behavior, not a
+    # local[32] artifact.
+    "spark.sql.codegen.hugeMethodLimit": "8000",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
@@ -56,8 +67,8 @@ def spread_scan(df, min_parts: int | None = None):
       than defaultParallelism (on a real cluster reading many-row-
       group files this is false and no exchange enters the plan);
     - size gate: only when the source files exceed ``min_bytes``
-      (default 4 MB) — below that the exchange's fixed cost exceeds
-      any parallelism gain (measured +0.1-0.6 s per query on sub-MB
+      (2 MB) — below that the exchange's fixed cost exceeds any
+      parallelism gain (measured +0.1-0.6 s per query on sub-MB
       sf0.1 fixtures vs 3-5x wins on the same queries at sf1.0).
       Non-file sources (range, already-shuffled frames) report no
       input files and fall back to the partition gate alone.
@@ -69,7 +80,7 @@ def spread_scan(df, min_parts: int | None = None):
 
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
-    min_bytes = 4 << 20
+    min_bytes = 2 << 20
     try:
         files = df.inputFiles()
         if files:
