@@ -14,7 +14,9 @@ and the engine efficiency normalized to that ceiling; the normalized
 number is what transfers to real hardware.
 
 Writes BENCH/BASELINE.md and prints one JSON line.
-Usage: python tools/scaling_bench.py [n_pages]
+Usage: python tools/scaling_bench.py [n_pages] [reps]
+(reps = interleaved lo/hi measurement pairs per run, default 3 —
+best-of-reps at each cluster size)
 """
 
 from __future__ import annotations
@@ -168,15 +170,26 @@ def main():
     # unconditionally like every other run, pass or miss.
     wait_thresh = float(os.environ.get("SCALING_WAIT_QUIET", "0"))
     wait_max = float(os.environ.get("SCALING_WAIT_MAX_S", "7200"))
+    gate_waited_s = 0.0
+    gate_timed_out = False
     if wait_thresh > 0:
         t_gate = time.time()
-        while ceiling_pre < wait_thresh and time.time() - t_gate < wait_max:
+        while ceiling_pre < wait_thresh:
+            remaining = wait_max - (time.time() - t_gate)
+            if remaining <= 0:
+                # budget exhausted: run anyway (recorded as timed out),
+                # and do NOT sleep past the deadline or spend it on one
+                # more probe (r5 advice: the loop previously overran
+                # SCALING_WAIT_MAX_S by a sleep plus a probe)
+                gate_timed_out = True
+                break
             sys.stderr.write(
                 f"pre-flight ceiling {ceiling_pre:.3f} < {wait_thresh}; "
-                "re-probing in 300s\n")
+                f"re-probing in {min(300, remaining):.0f}s\n")
             sys.stderr.flush()
-            time.sleep(300)
+            time.sleep(min(300, remaining))
             ceiling_pre = cpu_ceiling(8, 32)
+        gate_waited_s = time.time() - t_gate
     r2 = r8 = None
     for _ in range(reps):
         a = run(2, n_pages, path, pkg_zip)
@@ -206,6 +219,12 @@ def main():
         "target": 0.8,
         "pass_raw": raw_eff >= 0.8,
         "pass_vs_ceiling": norm_eff >= 0.8,
+        # gate metadata (r5 advice): gated and ungated runs must be
+        # distinguishable in the honest record, since start-time
+        # selection toward quiet windows biases the raw pass rate
+        "wait_quiet_threshold": wait_thresh,
+        "gate_waited_s": round(gate_waited_s, 1),
+        "gate_timed_out": gate_timed_out,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     ts = time.strftime("%Y-%m-%d %H:%M:%S UTC", time.gmtime())
@@ -368,10 +387,10 @@ default packing stays. The 100 TB takeaway transfers directly:
 verify a stage has >= ~4 task waves per core group, but don't go
 finer once it does — per-task overhead cancels the tail gain.
 
-Reproduce: ``python tools/scaling_bench.py {n_pages}``
-(~25 min: generation + warm + best-of-2 at both sizes; run NOTHING
-else concurrently — a single co-running job visibly poisons the
-32-core phase).
+Reproduce: ``python tools/scaling_bench.py {n_pages} [reps]``
+(~35-40 min at the best-of-3 default: generation + warm + three
+interleaved lo/hi pairs; run NOTHING else concurrently — a single
+co-running job visibly poisons the 32-core phase).
 """)
 
 
