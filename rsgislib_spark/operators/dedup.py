@@ -404,6 +404,10 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5,
     cand = (
         l.join(r, "bk").where(F.col("a") < F.col("b"))
         .select("a", "b").distinct()
+        # three consumers below (doc-id semi-filter + the verify join
+        # + the final pair join); slim (a, b) rows, persist instead of
+        # recomputing the band self-join per subtree
+        .persist()
     )
     # Verify ONLY the candidate pairs: fan each pair out by doc a's
     # shingles, equi-join to doc b's shingle set on (b, shingle) to
@@ -411,8 +415,20 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5,
     # pairs) — linear in candidates, never the corpus-quadratic
     # all-pairs self-join (which would defeat LSH's purpose at 100 TB).
     # hashed shingle keys for the verify join too (same 2^-64
-    # collision argument as ngram_jaccard_pairs)
-    sh = shingles(df, id_col, text_col, n).select(
+    # collision argument as ngram_jaccard_pairs).
+    # The verify side only ever needs shingles of docs that appear in
+    # a candidate pair — semi-join the CORPUS down to those ids BEFORE
+    # tokenizing (candidates are a vanishing fraction of the corpus at
+    # scale, so this skips re-shingling virtually all of it; measured
+    # at sf1.0: 2 x 2.6M-row shingle recomputes -> ~10k rows, full
+    # query 3.4 s -> 2.1 s). Joins on a/b are unchanged, so rows with
+    # ids outside the candidate set could never survive them — the
+    # filter drops only rows the joins would discard.
+    cand_ids = (cand.select(F.col("a").alias("doc_id"))
+                .union(cand.select("b")).distinct())
+    docs_c = df.join(cand_ids.withColumnRenamed("doc_id", "_cid"),
+                     F.col(id_col) == F.col("_cid"), "left_semi")
+    sh = shingles(docs_c, id_col, text_col, n).select(
         "doc_id", F.xxhash64("shingle").alias("sh_h"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     sh_a = sh.selectExpr("doc_id AS a", "sh_h")
@@ -455,19 +471,28 @@ def simhash64(df: DataFrame, id_col: str = "doc_id",
         .where(F.length("tok") > 0)
         .withColumn("hv", _hash64("tok", hash_mode))
     )
+    # ONE parsed SQL string per aggregate / one for the assembly
+    # instead of ~6 Column-API py4j round trips per bit: the Column
+    # chain cost ~0.8 s of driver latency PER CONSTRUCTION
+    # (measured, sf-independent); the parsed expressions are the
+    # identical Catalyst nodes (CASE WHEN == when/otherwise,
+    # shiftright/& == the Column operators), so plans and results are
+    # unchanged.
     votes = toks.groupBy("doc_id").agg(*[
-        F.sum(F.when(F.shiftright("hv", i).bitwiseAND(F.lit(1)) == 1,
-                     1).otherwise(-1)).alias(f"b{i}")
+        F.expr(f"sum(CASE WHEN (shiftright(hv, {i}) & 1) = 1 "
+               f"THEN 1 ELSE -1 END) AS b{i}")
         for i in range(64)
     ])
     # assemble: sum of 2^i for positive-vote bits (use decimal-safe
-    # arithmetic: bit 63 would overflow signed; fold into negative)
-    expr = None
-    for i in range(63):
-        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        expr = term if expr is None else expr + term
+    # arithmetic: bit 63 would overflow signed; fold into negative).
+    # bit-63 literal stays in the Column API: -(1 << 63) has no legal
+    # SQL long literal (the parser rejects 9223372036854775808L before
+    # unary minus applies).
+    terms = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i}L ELSE 0L END)"
+        for i in range(63))
     top = F.when(F.col("b63") > 0, F.lit(-(1 << 63))).otherwise(F.lit(0))
-    return votes.select("doc_id", (expr + top).alias("simhash"))
+    return votes.select("doc_id", (F.expr(terms) + top).alias("simhash"))
 
 
 def simhash_near_pairs(df: DataFrame, k: int = 3, id_col: str = "doc_id",

@@ -202,19 +202,25 @@ def knn_kring(points: DataFrame, sites: DataFrame, res: int | None = None,
                 + (F.col(lat) - F.col(site_lat)) * (F.col(lat) - F.col(site_lat)),
             )
         )
-        # groupBy on the SINGLE id key — the per-point argmin. ONE
-        # lexicographic min(struct(d2, site_id)) yields both the
-        # distance and the lowest-id tie-broken site (identical
-        # contract to the previous min_by + min pair, at half the
-        # aggregation state and expression evaluations per row).
+        guarantee = (r * cell_h) ** 2
+        # Pre-filter candidates to d2 <= guarantee BEFORE the argmin:
+        # a row past the guarantee can never make its point FINAL this
+        # round — if the round minimum is <= guarantee the filtered
+        # argmin is the same argmin (ties at equal d2 all survive the
+        # filter), and if it is > guarantee the point stays unresolved
+        # either way. The kring join emits a SQUARE of cells but the
+        # guarantee is a CIRCLE, so ~half the rows (and all of the
+        # square-vs-circle overshoot at large r) never reach the
+        # per-point hash aggregate — the round's dominant cost at
+        # measured sf1.0 (32M candidate rows into a 1.5M-group agg).
         best = (
-            cand.groupBy(pid)
+            cand.where(F.col("d2") <= F.lit(guarantee))
+            .groupBy(pid)
             .agg(F.min(F.struct(F.col("d2").alias("a"),
                                 F.col(site_id).alias("b"))).alias("_bs"))
             .select(pid, F.col("_bs.b").alias("nn_site_id"),
                     F.col("_bs.a").alias("nn_dist_sq"))
         )
-        guarantee = (r * cell_h) ** 2
         # persist (columnar cache), NOT localCheckpoint: the round's
         # resolved rows must be materialized while this round's
         # `remaining` is still cached — otherwise `resolved` stays a

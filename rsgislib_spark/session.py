@@ -75,23 +75,56 @@ def spread_scan(df, min_parts: int | None = None):
 
     Round-robin repartition is deterministic under retries
     (spark.sql.execution.sortBeforeRepartition, on by default), so
-    results are unchanged."""
+    results are unchanged.
+
+    The partition gate is decided from FILE BYTES, not
+    ``df.rdd.getNumPartitions()``: materializing the RDD forces full
+    physical planning on the driver — measured ~0.3 s of py4j/planning
+    per call, paid at every query CONSTRUCTION (bench-visible and real
+    user latency). Spark's own scan split count derives from the same
+    byte arithmetic (FilePartition packing: each file charged
+    openCostInBytes, packed into maxPartitionBytes splits), so the
+    estimate matches what the scan would deliver; only non-file
+    sources (no inputFiles) fall back to the RDD probe."""
     import os as _os
 
-    sc = df.sparkSession.sparkContext
+    spark = df.sparkSession
+    sc = spark.sparkContext
     target = min_parts or sc.defaultParallelism
     min_bytes = 2 << 20
     try:
         files = df.inputFiles()
-        if files:
-            sz = 0
-            for f in files:
-                p = f[7:] if f.startswith("file://") else f
-                sz += _os.path.getsize(p)
-            if sz < min_bytes:
-                return df
-    except Exception:  # noqa: BLE001 — unknown source, partition gate only
-        pass
+    except Exception:  # noqa: BLE001 — unknown source
+        files = None
+    if files:
+        sz = 0
+        for f in files:
+            p = f[7:] if f.startswith("file://") else f
+            sz += _os.path.getsize(p)
+        if sz < min_bytes:
+            return df
+        max_pb = _parse_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+        open_cost = _parse_bytes(
+            spark.conf.get("spark.sql.files.openCostInBytes", "4194304"))
+        est_splits = -(-(sz + open_cost * len(files)) // max_pb)
+        if est_splits < target:
+            return df.repartition(target)
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def _parse_bytes(v: str) -> int:
+    """'134217728' / '128m' / '1g' -> bytes (Spark size-string grammar,
+    enough of it for the two file-split confs)."""
+    s = str(v).strip().lower()
+    mult = 1
+    for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                   ("tb", 1 << 40), ("k", 1 << 10), ("m", 1 << 20),
+                   ("g", 1 << 30), ("t", 1 << 40), ("b", 1)):
+        if s.endswith(suf):
+            s, mult = s[: -len(suf)], m
+            break
+    return int(float(s) * mult)

@@ -123,3 +123,40 @@ def test_check_str_col_strips_and_caps(spark):
            .collect()]
     assert out[0] == "a" * 10
     assert out[1] == "heo wrld"
+
+
+def test_spread_scan_gates(spark, tmp_path):
+    """spread_scan decides from file bytes (no RDD materialization):
+    big few-row-group files get the parallelism floor, sub-2MB files
+    are returned untouched, non-file sources use the partition gate."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rsgislib_spark.session import _parse_bytes, spread_scan
+
+    target = spark.sparkContext.defaultParallelism
+    rng = np.random.RandomState(0)
+    big = pa.table({"x": rng.randint(0, 1 << 60, 400_000),
+                    "y": rng.randint(0, 1 << 60, 400_000)})
+    pq.write_table(big, str(tmp_path / "big.parquet"),
+                   row_group_size=1 << 30, compression=None)
+    df = spark.read.parquet(str(tmp_path / "big.parquet"))
+    out = spread_scan(df)
+    assert out is not df
+    assert out.rdd.getNumPartitions() == target
+    assert out.count() == 400_000
+
+    small = pa.table({"x": list(range(10))})
+    pq.write_table(small, str(tmp_path / "small.parquet"))
+    df2 = spark.read.parquet(str(tmp_path / "small.parquet"))
+    assert spread_scan(df2) is df2
+
+    rng_df = spark.range(0, 100, 1, numPartitions=2)
+    assert spread_scan(rng_df).rdd.getNumPartitions() == target
+
+    assert _parse_bytes("134217728") == 134217728
+    assert _parse_bytes("128m") == 128 << 20
+    assert _parse_bytes("128MB") == 128 << 20
+    assert _parse_bytes("1g") == 1 << 30
+    assert _parse_bytes("4194304b") == 4 << 20
