@@ -101,10 +101,12 @@ def knn_broadcast(points: DataFrame, sites: DataFrame, k: int = 1,
     # spread the point side: the O(|pts| * |sites|) distance kernel is
     # the whole cost of this operator, and a few-row-group parquet
     # source would hand it to one or two tasks (each row is
-    # independent, so the round-robin exchange changes nothing else)
+    # independent, so the exchange changes nothing else). Hash-spread
+    # on (lon, lat) — near-unique deterministic values on any point
+    # layer — skips round-robin's local sort in the scan task
     from ..session import spread_scan
 
-    return spread_scan(points).mapInPandas(_nn, schema=schema)
+    return spread_scan(points, by=(lon, lat)).mapInPandas(_nn, schema=schema)
 
 
 def knn_kring(points: DataFrame, sites: DataFrame, res: int | None = None,
@@ -171,8 +173,9 @@ def knn_kring(points: DataFrame, sites: DataFrame, res: int | None = None,
     from ..session import spread_scan
 
     # spread before persisting: a few-row-group source would build
-    # the cache (and feed every round's join shuffle) from 1-2 tasks
-    pts = spread_scan(pts_full.select(pid, lon, lat)).withColumn(
+    # the cache (and feed every round's join shuffle) from 1-2 tasks.
+    # Hash-spread on the id key — skips round-robin's local sort
+    pts = spread_scan(pts_full.select(pid, lon, lat), by=pid).withColumn(
         "cell", quadcell.cell_col(lon, lat, res))
     sts = sites.withColumn("scell", quadcell.cell_col(site_lon, site_lat, res))
 

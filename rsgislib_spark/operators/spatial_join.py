@@ -444,8 +444,9 @@ def spatial_join_df(points: DataFrame, polys: DataFrame,
 
     # spread the slim point side: the cell-assign/explode stage feeds
     # the candidate shuffle, and a few-row-group source would write
-    # that whole shuffle from 1-2 tasks
-    slim = spread_scan(points.select(pt_id, lon, lat))
+    # that whole shuffle from 1-2 tasks. Hash-spread on the id key:
+    # no sort-before-repartition inside the single scan task
+    slim = spread_scan(points.select(pt_id, lon, lat), by=pt_id)
     if len(res_set) == 1:
         pts = slim.withColumn("cell", quadcell.cell_col(lon, lat, res_set[0]))
     else:
