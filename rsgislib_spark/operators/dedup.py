@@ -90,7 +90,8 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         # signatures, jaccard pairs, decontamination) — a single-row-
         # group corpus file would otherwise run it all on one core
         spread_scan(df.select(F.col(id_col).alias("doc_id"),
-                              F.col(text_col).alias("_text")))
+                              F.col(text_col).alias("_text")),
+                    by="doc_id")
         .select("doc_id", F.split("_text", " ").alias("_toks"))
         .where(F.size("_toks") >= n)
         .select("doc_id", F.explode(F.array_distinct(F.expr(
@@ -404,10 +405,6 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5,
     cand = (
         l.join(r, "bk").where(F.col("a") < F.col("b"))
         .select("a", "b").distinct()
-        # three consumers below (doc-id semi-filter + the verify join
-        # + the final pair join); slim (a, b) rows, persist instead of
-        # recomputing the band self-join per subtree
-        .persist()
     )
     # Verify ONLY the candidate pairs: fan each pair out by doc a's
     # shingles, equi-join to doc b's shingle set on (b, shingle) to
@@ -416,19 +413,12 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5,
     # all-pairs self-join (which would defeat LSH's purpose at 100 TB).
     # hashed shingle keys for the verify join too (same 2^-64
     # collision argument as ngram_jaccard_pairs).
-    # The verify side only ever needs shingles of docs that appear in
-    # a candidate pair — semi-join the CORPUS down to those ids BEFORE
-    # tokenizing (candidates are a vanishing fraction of the corpus at
-    # scale, so this skips re-shingling virtually all of it; measured
-    # at sf1.0: 2 x 2.6M-row shingle recomputes -> ~10k rows, full
-    # query 3.4 s -> 2.1 s). Joins on a/b are unchanged, so rows with
-    # ids outside the candidate set could never survive them — the
-    # filter drops only rows the joins would discard.
-    cand_ids = (cand.select(F.col("a").alias("doc_id"))
-                .union(cand.select("b")).distinct())
-    docs_c = df.join(cand_ids.withColumnRenamed("doc_id", "_cid"),
-                     F.col(id_col) == F.col("_cid"), "left_semi")
-    sh = shingles(docs_c, id_col, text_col, n).select(
+    # Measured-and-rejected (sf0.1 + sf1.0): persisting `cand` and
+    # semi-joining the corpus to candidate doc ids before re-shingling
+    # — the persist barrier plus the extra broadcast-build job chain
+    # cost MORE than the two fully-parallel shingle recomputes they
+    # avoid (sf0.1 2.3 s -> 3.7 s, sf1.0 4.8 s -> 5.0 s).
+    sh = shingles(df, id_col, text_col, n).select(
         "doc_id", F.xxhash64("shingle").alias("sh_h"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     sh_a = sh.selectExpr("doc_id AS a", "sh_h")
@@ -466,7 +456,8 @@ def simhash64(df: DataFrame, id_col: str = "doc_id",
         # spread_scan: the token explode + 64 partial bit-vote sums
         # run in the scan stage — single-core on a one-row-group file
         spread_scan(df.select(F.col(id_col).alias("doc_id"),
-                              F.col(text_col).alias("_text")))
+                              F.col(text_col).alias("_text")),
+                    by="doc_id")
         .select("doc_id", F.explode(F.split("_text", " ")).alias("tok"))
         .where(F.length("tok") > 0)
         .withColumn("hv", _hash64("tok", hash_mode))
@@ -721,7 +712,8 @@ def span_dup_stats(df: DataFrame, id_col: str = "doc_id",
         # portable-hash projection are the heavy narrow stages; a
         # one-row-group corpus would run them on one core
         spread_scan(df.select(F.col(id_col).alias("doc_id"),
-                              F.col(text_col).alias("_text")))
+                              F.col(text_col).alias("_text")),
+                    by="doc_id")
         .select("doc_id",
                 F.split(F.coalesce(F.col("_text"), F.lit("")), " ")
                 .alias("_tk"))
@@ -776,7 +768,8 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
         # per-row work here, all in the scan stage (no shuffle at all
         # in this operator), so a one-row-group file serializes it
         spread_scan(df.select(F.col(id_col).alias("doc_id"),
-                              F.col(text_col).alias("_text")))
+                              F.col(text_col).alias("_text")),
+                    by="doc_id")
         .select("doc_id", F.split("_text", " ").alias("_toks"))
         .selectExpr(
             "doc_id",
