@@ -418,8 +418,18 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5,
     # — the persist barrier plus the extra broadcast-build job chain
     # cost MORE than the two fully-parallel shingle recomputes they
     # avoid (sf0.1 2.3 s -> 3.7 s, sf1.0 4.8 s -> 5.0 s).
+    # The trailing repartition("doc_id") is a REUSE BOUNDARY, not a
+    # distribution need: three subtrees consume `sh` (sizes, both
+    # verify sides), and without an exchange on top each one re-runs
+    # the tokenize/explode/hash chain — Spark dedupes IDENTICAL
+    # exchange subtrees (spark.sql.exchange.reuse), so the chain runs
+    # once and the two extra consumers read its shuffle files (42 MB
+    # at sf1.0) instead of recomputing it (measured 4.5 s -> 3.5 s;
+    # partition count stays conf-driven, nothing hard-coded). Cheaper
+    # than persist for the same sharing (no cache write barrier —
+    # persist measured 4.4-5.5 s on this shape).
     sh = shingles(df, id_col, text_col, n).select(
-        "doc_id", F.xxhash64("shingle").alias("sh_h"))
+        "doc_id", F.xxhash64("shingle").alias("sh_h")).repartition("doc_id")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     sh_a = sh.selectExpr("doc_id AS a", "sh_h")
     sh_b = sh.selectExpr("doc_id AS b", "sh_h")
@@ -719,11 +729,22 @@ def span_dup_stats(df: DataFrame, id_col: str = "doc_id",
                 .alias("_tk"))
         .selectExpr(
             "doc_id",
+            # span assembly by direct element indexing, not
+            # array_join(slice(...)): the slice allocates a sub-array
+            # per span inside the interpreted transform lambda (the
+            # shingles() lesson; measured 1.3 s -> 0.85 s on the 2.7M
+            # stride-1 spans at sf1.0). try_element_at (1-based)
+            # yields NULL past the end of the token array and
+            # concat_ws skips NULLs, which equals array_join of the
+            # truncated slice exactly (split() never yields NULL
+            # tokens, and the sequence bound keeps the first element
+            # in range) — verified row-identical vs the slice form.
             f"explode(transform("
             f"sequence(0, CAST(ceil(size(_tk) / {stride}.0) AS INT)"
             f" - 1), "
-            f"i -> array_join(slice(_tk, i * {stride} + 1, "
-            f"{span_tokens}), ' '))) AS span")
+            f"i -> concat_ws(' ', " + ", ".join(
+                f"try_element_at(_tk, i * {stride} + {j + 1})"
+                for j in range(span_tokens)) + "))) AS span")
     )
     hs = spans.select(
         "doc_id", _hash64("span", hash_mode).alias("h")).distinct()
