@@ -418,18 +418,13 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5,
     # — the persist barrier plus the extra broadcast-build job chain
     # cost MORE than the two fully-parallel shingle recomputes they
     # avoid (sf0.1 2.3 s -> 3.7 s, sf1.0 4.8 s -> 5.0 s).
-    # The trailing repartition("doc_id") is a REUSE BOUNDARY, not a
-    # distribution need: three subtrees consume `sh` (sizes, both
-    # verify sides), and without an exchange on top each one re-runs
-    # the tokenize/explode/hash chain — Spark dedupes IDENTICAL
-    # exchange subtrees (spark.sql.exchange.reuse), so the chain runs
-    # once and the two extra consumers read its shuffle files (42 MB
-    # at sf1.0) instead of recomputing it (measured 4.5 s -> 3.5 s;
-    # partition count stays conf-driven, nothing hard-coded). Cheaper
-    # than persist for the same sharing (no cache write barrier —
-    # persist measured 4.4-5.5 s on this shape).
+    # Also measured-and-rejected: a repartition("doc_id") reuse
+    # boundary over this table — executed plans showed exchange reuse
+    # NEVER fired for the three consumers (identical Generate-explode
+    # count with and without it), so the extra exchange was pure
+    # shuffle cost.
     sh = shingles(df, id_col, text_col, n).select(
-        "doc_id", F.xxhash64("shingle").alias("sh_h")).repartition("doc_id")
+        "doc_id", F.xxhash64("shingle").alias("sh_h"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     sh_a = sh.selectExpr("doc_id AS a", "sh_h")
     sh_b = sh.selectExpr("doc_id AS b", "sh_h")
